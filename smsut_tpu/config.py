@@ -1,0 +1,145 @@
+# -*- coding: utf-8 -*-
+"""Typed configuration for SMSUT-TPU.
+
+A single dataclass replaces the reference's module of global constants
+(`/root/reference/config.py:7-94`) while keeping every knob name and default
+value so runs are comparable 1:1.  TPU-specific knobs (dtype policy, mesh
+shape, host prefetch depth) are additive.
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+import os
+from typing import Dict, Sequence, Tuple
+
+
+class Modality(enum.IntEnum):
+    """Imaging modalities (reference `config.py:7-11`)."""
+
+    ct = 0
+    t1in = 1
+    t1out = 2
+    t2 = 3
+
+
+MODALITIES: Tuple[str, ...] = tuple(Modality.__members__)
+
+
+def default_data_aug() -> Dict[str, object]:
+    # Reference `config.py:60-71`.
+    return dict(
+        rotate=True,
+        rotate_degrees=15,
+        resizeCrop=True,
+        resizeCrop_size=256,
+        elasticDeform=True,
+        elasticDeform_sigmas=(9.0, 13.0),
+        elasticDeform_points=3,
+        colorJitter=False,
+        gammaCorrect=False,
+        gammaCorrect_gammas=(0.7, 1.5),
+    )
+
+
+@dataclasses.dataclass
+class Config:
+    # ----- misc (reference config.py:23-26) -----
+    seed: int = 2020
+    n_modal: int = len(Modality.__members__)
+    n_label: int = 4  # 4 abdominal organs: liver, r-kidney, l-kidney, spleen
+
+    # ----- training loop (config.py:29-33) -----
+    num_iter_per_epoch: int = 150
+    max_epoch: int = 200
+    exp_alpha: float = 1.0
+    weight_dc: float = 0.5
+    weight_ce: float = 0.5
+
+    # ----- network (config.py:36-37) -----
+    img_channels: int = 1
+    base_width: int = 16
+
+    # ----- data roots (config.py:40-47); overridable via env -----
+    atlas_root: str = ""
+    chaos_root: str = ""
+    base_root: str = ""
+    expr_root: str = ""
+
+    # ----- preprocessing (config.py:49-51) -----
+    new_spacing: Tuple[float, float, float] = (1.5, 1.5, 5.0)
+    input_size: int = 256
+    mod_type: Tuple[str, ...] = MODALITIES  # intended 4-tuple (see SURVEY appendix)
+
+    # ----- data loading (config.py:54-71) -----
+    split_yaml: str = "semi-1910.yaml"
+    batch_size: int = 8
+    num_workers: int = 6
+    data_aug: Dict[str, object] = dataclasses.field(default_factory=default_data_aug)
+
+    # ----- optimization (config.py:74-75) -----
+    lr: float = 1e-2
+    weight_decay: float = 1e-3
+
+    # ----- PatchNCE (config.py:78) -----
+    nce_layers: Sequence[int] = (5,)
+    nce_patches: int = 64
+    nce_temperature: float = 0.07
+    netF_nc: int = 256
+
+    # ----- CoraNet (config.py:81-94) -----
+    thres: float = 0.5
+    default_w: Tuple[float, ...] = (1.0, 1.0)
+    w_con: Tuple[float, ...] = (1.0, 5.0)
+    w_rad: Tuple[float, ...] = (5.0, 1.0)
+    pre_epoch: int = 100
+    cora_epoch: int = 200
+    pred_step: int = 10
+
+    # ----- TPU-native additions -----
+    # compute dtype for conv/matmul activations ("bfloat16" or "float32");
+    # parameters and the loss are always float32.
+    compute_dtype: str = "bfloat16"
+    # number of data-parallel shards; 0 == use all local devices.
+    data_parallel: int = 0
+    # host->device prefetch depth of the input pipeline.
+    prefetch_depth: int = 2
+    # use the fused Pallas instance-norm kernel where available.
+    use_pallas: bool = False
+
+    def __post_init__(self):
+        env_base = os.environ.get("SMSUT_DATA_ROOT")
+        if env_base and not self.base_root:
+            self.base_root = env_base
+        env_expr = os.environ.get("SMSUT_EXPR_ROOT")
+        if env_expr and not self.expr_root:
+            self.expr_root = env_expr
+        if not self.expr_root:
+            self.expr_root = os.path.join(os.path.expanduser("~"), "smsut-out")
+
+    @property
+    def n_class(self) -> int:
+        """Segmentation channels: background + n_label."""
+        return self.n_label + 1
+
+    @property
+    def total_iters(self) -> int:
+        return self.max_epoch * self.num_iter_per_epoch
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+_default_config: Config = None
+
+
+def get_config() -> Config:
+    global _default_config
+    if _default_config is None:
+        _default_config = Config()
+    return _default_config
+
+
+def set_config(cfg: Config) -> None:
+    global _default_config
+    _default_config = cfg

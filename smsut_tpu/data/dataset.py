@@ -1,0 +1,192 @@
+# -*- coding: utf-8 -*-
+"""PNG slice dataset + batch loaders feeding the TPU input pipeline.
+
+Mirrors the reference data contract (`/root/reference/data_loader/
+baseLoader.py:29-62`, `balanceLoader.py:31-69`): the on-disk tree is
+``{root}/{modality}/{pid}/{images,labels}/{modality}_{pid}_{zzz}.png`` plus a
+3-D ``{modality}_{pid}.npy`` label volume per patient; batches carry
+(img [B,H,W,1] float32 in [-1,1], msk [B,H,W] int32, mdl [B] int32, names).
+
+Unlike the reference's fork-based DataLoader, decoding and augmentation run in
+a thread pool (cv2/scipy release the GIL) with an N-deep host-side prefetch
+queue; arrays land in pinned host buffers ready for a single device_put.
+"""
+from __future__ import annotations
+
+import concurrent.futures as futures
+import os
+import queue
+import random
+import threading
+from dataclasses import dataclass, field
+from os.path import join as pjoin
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import cv2
+import numpy as np
+
+from smsut_tpu.config import Config, MODALITIES, Modality
+from smsut_tpu.data.augment import JointAugment, normalize_img
+from smsut_tpu.data.samplers import (
+    InTurnTestBatchSampler,
+    InTurnTrainBatchSampler,
+    ModalityBalanceBatchSampler,
+)
+from smsut_tpu.utils.io import read_yaml
+
+
+@dataclass
+class Batch:
+    img: np.ndarray            # [B, H, W, 1] float32 in [-1, 1]
+    msk: np.ndarray            # [B, H, W] int32
+    mdl: np.ndarray            # [B] int32
+    names: List[str] = field(default_factory=list)  # '{modal}_{pid}_{zzz}'
+
+    @property
+    def batch_size(self) -> int:
+        return self.img.shape[0]
+
+
+def _imread_gray(path: str) -> np.ndarray:
+    img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+    if img is None:
+        raise FileNotFoundError(path)
+    return img
+
+
+class SliceDataset:
+    """Flat list of (img, msk, modality_id, name) slices from the split yaml,
+    with optional load-in-RAM (uint8 arrays, not PIL handles)."""
+
+    def __init__(self, data_root: str, phase: str, fold: int = 0,
+                 load_in_ram: bool = True, split_yaml: str = "semi-1910.yaml"):
+        self.data_root = data_root
+        self.phase = phase
+        self.fold = fold
+        self.load_in_ram = load_in_ram
+        self.samples: List[Tuple] = []
+        self.modal_sample_ids: List[List[int]] = [[] for _ in MODALITIES]
+        split = read_yaml(pjoin(data_root, split_yaml))
+        n = 0
+        for m in MODALITIES:
+            if m not in split:
+                continue
+            part = split[m][phase] if phase == "test" else split[m][phase][fold]
+            for pid in part:
+                pid_root = pjoin(data_root, m, str(pid), "images")
+                for png in sorted(os.listdir(pid_root)):
+                    img_p = pjoin(pid_root, png)
+                    msk_p = img_p.replace("images", "labels")
+                    if load_in_ram:
+                        img_p = _imread_gray(img_p)
+                        msk_p = _imread_gray(msk_p)
+                    self.samples.append((img_p, msk_p, Modality[m].value,
+                                         png.replace(".png", "")))
+                    self.modal_sample_ids[Modality[m].value].append(n)
+                    n += 1
+        self.n = n
+
+    def __len__(self) -> int:
+        return self.n
+
+    def get_raw(self, i: int) -> Tuple[np.ndarray, np.ndarray, int, str]:
+        img, msk, mdl, name = self.samples[i]
+        if not self.load_in_ram:
+            img = _imread_gray(img)
+            msk = _imread_gray(msk)
+        return img, msk, mdl, name
+
+    def __repr__(self) -> str:
+        return (f"{self.__class__.__name__}(samples={self.n}, "
+                f"phase={self.phase} {self.fold})")
+
+
+class BatchLoader:
+    """Sampler + augmentation + collation with threaded prefetch."""
+
+    def __init__(self, dataset: SliceDataset, sampler, augment: Optional[JointAugment],
+                 num_workers: int = 6, prefetch_depth: int = 2):
+        self.dataset = dataset
+        self.sampler = sampler
+        self.augment = augment
+        self.num_workers = max(1, num_workers)
+        self.prefetch_depth = prefetch_depth
+        self._pool = futures.ThreadPoolExecutor(max_workers=self.num_workers)
+
+    def _make_sample(self, i: int) -> Tuple[np.ndarray, np.ndarray, int, str]:
+        img, msk, mdl, name = self.dataset.get_raw(i)
+        if self.augment is not None:
+            img, msk = self.augment(img, msk)
+        return normalize_img(img), msk.astype(np.int32), mdl, name
+
+    def _collate(self, idxs: Sequence[int]) -> Batch:
+        parts = list(self._pool.map(self._make_sample, idxs))
+        img = np.stack([p[0] for p in parts])[..., None]
+        msk = np.stack([p[1] for p in parts])
+        mdl = np.asarray([p[2] for p in parts], np.int32)
+        names = [p[3] for p in parts]
+        return Batch(img, msk, mdl, names)
+
+    def __iter__(self) -> Iterator[Batch]:
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_depth)
+        stop = object()
+
+        def producer():
+            try:
+                for idxs in self.sampler:
+                    q.put(self._collate(idxs))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+
+    def __len__(self) -> int:
+        return len(self.sampler)
+
+
+def get_loader(data_root: str, phase: str, fold: int, batch_size: int,
+               data_aug: Optional[Dict] = None, load_in_ram: bool = True,
+               cfg: Optional[Config] = None, loader_type: str = "inTurn",
+               rng: Optional[random.Random] = None) -> BatchLoader:
+    """Reference `inTurnLoader.get_loader` equivalent
+    (`inTurnLoader.py:83-97`); ``loader_type='balance'`` selects the
+    modality-balanced sampler (`balanceLoader.py:112-125`)."""
+    cfg = cfg or Config()
+    rng = rng or random.Random()
+    dataset = SliceDataset(data_root, phase, fold, load_in_ram, cfg.split_yaml)
+    if phase in ("train", "val"):
+        augment = JointAugment(data_aug, rng) if data_aug else None
+        if loader_type == "inTurn":
+            sampler = InTurnTrainBatchSampler(dataset.modal_sample_ids, batch_size,
+                                              shuffle=False, rng=rng)
+        elif loader_type == "balance":
+            sampler = ModalityBalanceBatchSampler(dataset.modal_sample_ids,
+                                                  batch_size, rng=rng)
+        else:
+            raise NotImplementedError(loader_type)
+    else:
+        augment = None
+        sampler = InTurnTestBatchSampler(dataset.modal_sample_ids, batch_size)
+    return BatchLoader(dataset, sampler, augment, cfg.num_workers, cfg.prefetch_depth)
+
+
+def get_label_npys(data_root: str, phase: str,
+                   split_yaml: str = "semi-1910.yaml") -> Tuple[int, Dict[str, np.ndarray]]:
+    """Ground-truth 3-D label volumes keyed '{modal}_{pid}'
+    (`misc/utils.py:163-177`)."""
+    retn, n = {}, 0
+    split = read_yaml(pjoin(data_root, split_yaml))
+    for m in MODALITIES:
+        if m not in split:
+            continue
+        for p in split[m][phase]:
+            npy = np.load(pjoin(data_root, m, str(p), f"{m}_{p}.npy"))
+            n += npy.shape[0]
+            retn[f"{m}_{p}"] = npy
+    return n, retn

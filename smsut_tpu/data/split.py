@@ -1,0 +1,78 @@
+# -*- coding: utf-8 -*-
+"""Split-yaml reading and 5-fold semi-supervised split generation.
+
+Mirrors `/root/reference/data_pprocess/toPngAndSplit.py:73-155` (ratios
+(1, 9, 10) == 5% labeled-train / 45% unlabeled-val / 50% test per modality,
+rotating folds, t1in/t1out share patient splits) with the intended 4-name
+modality tuple (the committed reference iterates characters of a string —
+SURVEY appendix)."""
+from __future__ import annotations
+
+import random
+from typing import Dict, List, Sequence
+
+from smsut_tpu.config import MODALITIES
+from smsut_tpu.utils.io import read_yaml, write_yaml
+
+
+def make_semi_split(pids_per_modality: Dict[str, List[str]],
+                    ratios: Sequence[int] = (1, 9, 10), n_fold: int = 5,
+                    seed: int = 2020) -> Dict:
+    """Build the split dict {modality: {train: {fold: [pid]}, val: {...},
+    test: [pid]}}.  t1in and t1out are forced to share patient splits."""
+    rng = random.Random(seed)
+    total = sum(ratios)
+    split: Dict = {}
+    shared_order: Dict[str, List[int]] = {}
+
+    for modality in MODALITIES:
+        pids = sorted(pids_per_modality.get(modality, []))
+        n = len(pids)
+        if n == 0:
+            continue
+        if modality in ("t1in", "t1out") and "t1" in shared_order and \
+                len(shared_order["t1"]) == n:
+            order = shared_order["t1"]
+        else:
+            order = list(range(n))
+            rng.shuffle(order)
+            if modality in ("t1in", "t1out"):
+                shared_order["t1"] = order
+        shuffled = [pids[i] for i in order]
+
+        n_test = max(1, round(n * ratios[2] / total))
+        test = shuffled[:n_test]
+        pool = shuffled[n_test:]
+        n_train = max(1, round(len(pool) * ratios[0] / (ratios[0] + ratios[1])))
+
+        train_folds, val_folds = {}, {}
+        for fold in range(n_fold):
+            rot = pool[fold * n_train % len(pool):] + pool[: fold * n_train % len(pool)]
+            train_folds[fold] = rot[:n_train]
+            val_folds[fold] = rot[n_train:]
+        split[modality] = {"train": train_folds, "val": val_folds, "test": test}
+
+    _check_split(split, n_fold)
+    return split
+
+
+def _check_split(split: Dict, n_fold: int) -> None:
+    """Every volume appears exactly once per fold across train/val/test
+    (`toPngAndSplit.py:138-150`)."""
+    for modality, s in split.items():
+        universe = set(s["test"])
+        for fold in range(n_fold):
+            seen = list(s["test"]) + list(s["train"][fold]) + list(s["val"][fold])
+            assert len(seen) == len(set(seen)), \
+                f"duplicate pid in {modality} fold {fold}"
+            if universe | set(s["train"][fold]) | set(s["val"][fold]) != \
+                    set(seen):
+                raise AssertionError(f"inconsistent split for {modality}")
+
+
+def load_split(path: str) -> Dict:
+    return read_yaml(path)
+
+
+def save_split(split: Dict, path: str) -> None:
+    write_yaml(split, path)

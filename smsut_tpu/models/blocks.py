@@ -1,0 +1,164 @@
+# -*- coding: utf-8 -*-
+"""Residual building blocks and the 5-level encoder/decoder pair.
+
+TPU-native re-design of `/root/reference/network/blocks.py:37-174` in NHWC
+flax.linen.  Semantics preserved: pre 5x5 stem, residual BasicBlocks with 1x1
+shortcut on channel change, max-pool downsampling, transposed-conv (or
+bilinear+1x1) upsampling with skip concat, widths w/2,1w,2w,4w,8w,16w.
+"""
+from __future__ import annotations
+
+from typing import Any, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from smsut_tpu.models.layers import (
+    InstanceNorm,
+    avg_pool2,
+    conv,
+    conv1x1,
+    conv3x3,
+    get_act,
+    get_norm,
+    kaiming_normal_fan_out,
+    max_pool2,
+    upsample_bilinear2,
+)
+
+Dtype = Any
+
+
+class BasicBlock(nn.Module):
+    """Residual block: 2x(conv3x3+norm), 1x1(+norm) shortcut when channels
+    change, activation after the sum (`network/blocks.py:53-80`)."""
+
+    features: int
+    norm_type: str = "instance"
+    act_type: str = "lrelu"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        act = get_act(self.act_type)
+        identity = x
+        y = conv3x3(self.features, act_type=self.act_type, dtype=self.dtype, name="conv1")(x)
+        y = get_norm(self.norm_type, self.dtype, name="bn1")(y)
+        y = act(y)
+        y = conv3x3(self.features, act_type=self.act_type, dtype=self.dtype, name="conv2")(y)
+        y = get_norm(self.norm_type, self.dtype, name="bn2")(y)
+        if x.shape[-1] != self.features:
+            identity = conv1x1(self.features, act_type=self.act_type, dtype=self.dtype,
+                               name="shortcut1")(identity)
+            identity = get_norm(self.norm_type, self.dtype, name="shortcut2")(identity)
+        return act(y + identity)
+
+
+class BottleBlock(nn.Module):
+    """Stride-2-capable residual block with avg-pool shortcut, used by the
+    PatchGAN discriminator (`network/blocks.py:83-117`)."""
+
+    features: int
+    norm_type: str = "instance"
+    act_type: str = "lrelu"
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        assert self.stride in (1, 2)
+        act = get_act(self.act_type)
+        y = conv3x3(self.features, act_type=self.act_type, dtype=self.dtype, name="conv1")(x)
+        y = get_norm(self.norm_type, self.dtype, name="bn1")(y)
+        y = act(y)
+        if self.stride == 2:
+            y = avg_pool2(y)
+        y = conv3x3(self.features, act_type=self.act_type, dtype=self.dtype, name="conv2")(y)
+        y = get_norm(self.norm_type, self.dtype, name="bn2")(y)
+
+        identity = avg_pool2(x) if self.stride == 2 else x
+        if x.shape[-1] != self.features:
+            identity = conv1x1(self.features, act_type=self.act_type, dtype=self.dtype,
+                               name="short_conv")(identity)
+            identity = get_norm(self.norm_type, self.dtype, name="short_norm")(identity)
+        return act(y + identity)
+
+
+class UpSampleAndConcat(nn.Module):
+    """2x upsample then channel-concat with the skip
+    (`network/blocks.py:37-50`).  ``transposed=True`` uses a 2x2 stride-2
+    transposed conv; otherwise bilinear + 1x1 conv."""
+
+    features: int
+    transposed: bool = True
+    act_type: str = "lrelu"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, skip: jax.Array) -> jax.Array:
+        if self.transposed:
+            x = nn.ConvTranspose(
+                self.features,
+                kernel_size=(2, 2),
+                strides=(2, 2),
+                padding="VALID",
+                use_bias=False,
+                kernel_init=kaiming_normal_fan_out(self.act_type),
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="up",
+            )(x)
+        else:
+            x = upsample_bilinear2(x)
+            x = conv1x1(self.features, act_type=self.act_type, dtype=self.dtype, name="up_conv")(x)
+        return jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
+
+
+class Encoder(nn.Module):
+    """5-level encoder (`network/blocks.py:120-152`): 5x5 stem to w/2, then
+    4x(BasicBlock + maxpool) and a bottleneck block; widths w..16w."""
+
+    width: int = 32
+    norm_type: str = "batch"
+    act_type: str = "lrelu"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> Tuple[jax.Array, List[jax.Array]]:
+        act = get_act(self.act_type)
+        w = self.width
+        x = conv(w // 2, 5, act_type=self.act_type, dtype=self.dtype, name="pre_conv")(x)
+        x = get_norm(self.norm_type, self.dtype, name="pre_bn")(x)
+        x = act(x)
+
+        skips = []
+        for i, mult in enumerate((1, 2, 4, 8)):
+            x = BasicBlock(mult * w, self.norm_type, self.act_type, self.dtype,
+                           name=f"layer{i + 1}")(x)
+            skips.append(x)
+            x = max_pool2(x)
+        x = BasicBlock(16 * w, self.norm_type, self.act_type, self.dtype, name="layer5")(x)
+        return x, skips
+
+
+class Decoder(nn.Module):
+    """4-level decoder with transposed-conv up+concat and a 1x1 head
+    (`network/blocks.py:155-174`)."""
+
+    out_ch: int
+    width: int = 32
+    norm_type: str = "batch"
+    act_type: str = "lrelu"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, skips: Sequence[jax.Array]) -> jax.Array:
+        w = self.width
+        for i, mult in zip((4, 3, 2, 1), (8, 4, 2, 1)):
+            x = UpSampleAndConcat(mult * w, transposed=True, act_type=self.act_type,
+                                  dtype=self.dtype, name=f"up{i}")(x, skips[i - 1])
+            x = BasicBlock(mult * w, self.norm_type, self.act_type, self.dtype,
+                           name=f"layer{i}")(x)
+        x = conv1x1(self.out_ch, act_type=self.act_type, dtype=self.dtype, name="fc")(x)
+        return x

@@ -1,0 +1,144 @@
+# -*- coding: utf-8 -*-
+"""Shared low-level layers (NHWC, mixed-precision friendly).
+
+TPU-native counterparts of the reference's conv/norm/act helpers
+(`/root/reference/network/blocks.py:10-50`).  All activations flow in
+``dtype`` (bfloat16 by default) while parameters and normalization statistics
+stay float32 — the standard TPU mixed-precision recipe.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+# torch.nn.init.calculate_gain('leaky_relu') uses negative_slope=0.01.
+_LRELU_GAIN2 = 2.0 / (1.0 + 0.01 ** 2)
+
+
+def kaiming_normal_fan_out(act_type: str = "lrelu") -> Callable:
+    """Kaiming-normal, mode='fan_out' — matches the reference init
+    (`network/unet.py:21-24`, `network/ugan.py:100-106`)."""
+    scale = 2.0 if act_type == "relu" else _LRELU_GAIN2
+    return nn.initializers.variance_scaling(scale, "fan_out", "normal")
+
+
+def normal_init(std: float = 0.02) -> Callable:
+    """CUT-style normal(0, 0.02) init for the PatchSampleF MLP
+    (`network/networks.py:163-196` via `ugan.py:233-247`)."""
+    return nn.initializers.normal(stddev=std)
+
+
+class InstanceNorm(nn.Module):
+    """InstanceNorm2d(affine=True) semantics: per-sample, per-channel stats
+    over the spatial dims, biased variance, no running stats
+    (`network/blocks.py:19-25`, torch defaults eps=1e-5).
+
+    Statistics are computed in float32 regardless of activation dtype.
+    """
+
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+        var = jnp.mean(jnp.square(xf), axis=(1, 2), keepdims=True) - jnp.square(mean)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * scale + bias
+        return y.astype(self.dtype)
+
+
+class BatchNorm(nn.Module):
+    """Training-mode BatchNorm2d (per-batch statistics).  The reference never
+    runs its 'batch' norm branch in eval-sensitive paths (all live models use
+    instance norm), so running averages are intentionally not tracked."""
+
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(0, 1, 2), keepdims=True)
+        var = jnp.mean(jnp.square(xf), axis=(0, 1, 2), keepdims=True) - jnp.square(mean)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * scale + bias
+        return y.astype(self.dtype)
+
+
+def get_norm(norm_type: str, dtype: Dtype = jnp.float32, name: Optional[str] = None) -> nn.Module:
+    if norm_type == "instance":
+        return InstanceNorm(dtype=dtype, name=name)
+    if norm_type == "batch":
+        return BatchNorm(dtype=dtype, name=name)
+    raise NotImplementedError(norm_type)
+
+
+def get_act(act_type: str) -> Callable[[jax.Array], jax.Array]:
+    """relu / leaky-relu(0.01) (`network/blocks.py:28-34`)."""
+    if act_type == "relu":
+        return jax.nn.relu
+    if act_type == "lrelu":
+        return lambda x: jax.nn.leaky_relu(x, negative_slope=1e-2)
+    raise NotImplementedError(act_type)
+
+
+def conv(
+    features: int,
+    kernel: int,
+    stride: int = 1,
+    use_bias: bool = False,
+    act_type: str = "lrelu",
+    dtype: Dtype = jnp.float32,
+    name: Optional[str] = None,
+) -> nn.Conv:
+    """SAME-padded conv matching torch Conv2d(k, s, padding=k//2)."""
+    return nn.Conv(
+        features,
+        kernel_size=(kernel, kernel),
+        strides=(stride, stride),
+        padding=[(kernel // 2, kernel // 2)] * 2 if kernel > 1 else "VALID",
+        use_bias=use_bias,
+        kernel_init=kaiming_normal_fan_out(act_type),
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        name=name,
+    )
+
+
+def conv3x3(features, stride=1, act_type="lrelu", dtype=jnp.float32, name=None):
+    # `network/blocks.py:10-12`
+    return conv(features, 3, stride, False, act_type, dtype, name)
+
+
+def conv1x1(features, stride=1, act_type="lrelu", dtype=jnp.float32, name=None, use_bias=False):
+    # `network/blocks.py:15-16`
+    return conv(features, 1, stride, use_bias, act_type, dtype, name)
+
+
+def max_pool2(x: jax.Array) -> jax.Array:
+    return nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
+
+
+def avg_pool2(x: jax.Array) -> jax.Array:
+    return nn.avg_pool(x, window_shape=(2, 2), strides=(2, 2))
+
+
+def upsample_bilinear2(x: jax.Array) -> jax.Array:
+    """2x bilinear upsample, align_corners=False semantics (half-pixel centers),
+    matching `nn.Upsample(scale_factor=2, mode='bilinear')`."""
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, 2 * h, 2 * w, c), method="bilinear")

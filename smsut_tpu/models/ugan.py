@@ -1,0 +1,241 @@
+# -*- coding: utf-8 -*-
+"""UGAN model family — unified StarGAN-style translator + segmenter.
+
+TPU-native re-design of `/root/reference/network/ugan.py`:
+  * ``UGANEncoder``/``UGANDecoder`` — 4-level variants (`ugan.py:22-83`)
+  * ``UGAN``     — translation+segmentation twin towers with a shared
+                   bottleneck block (`ugan.py:86-123`)
+  * ``UGANnce``  — UGAN + PatchSampleF MLP projector returning an
+                   L2-normalized 64-patch feature pool (`ugan.py:126-195`);
+                   patch ids are passed explicitly (a PRNG-split permutation)
+                   instead of being stateful, which keeps the module pure and
+                   jit-friendly.
+  * ``Discriminator`` — PatchGAN + modality classifier (`ugan.py:198-229`).
+
+Layout is NHWC; modality vectors are concatenated as extra input channels.
+"""
+from __future__ import annotations
+
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from smsut_tpu.models.blocks import BasicBlock, BottleBlock, UpSampleAndConcat
+from smsut_tpu.models.layers import (
+    conv,
+    conv1x1,
+    conv3x3,
+    get_act,
+    get_norm,
+    kaiming_normal_fan_out,
+    max_pool2,
+    normal_init,
+)
+
+Dtype = Any
+
+
+class UGANEncoder(nn.Module):
+    """4-level encoder returning the pooled bottleneck input and skips in
+    reversed order [e4, e3, e2, e1] (`ugan.py:22-55`)."""
+
+    width: int = 32
+    norm_type: str = "instance"
+    act_type: str = "lrelu"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> Tuple[jax.Array, List[jax.Array]]:
+        act = get_act(self.act_type)
+        w = self.width
+        x = conv(w // 2, 5, act_type=self.act_type, dtype=self.dtype, name="pre_conv")(x)
+        x = get_norm(self.norm_type, self.dtype, name="pre_bn")(x)
+        x = act(x)
+
+        skips = []
+        for i, mult in enumerate((1, 2, 4, 8)):
+            x = BasicBlock(mult * w, self.norm_type, self.act_type, self.dtype,
+                           name=f"enc{i + 1}")(x)
+            skips.append(x)
+            x = max_pool2(x)
+        skips.reverse()
+        return x, skips
+
+
+class UGANDecoder(nn.Module):
+    """4-level decoder; translation head uses bilinear upsampling + tanh,
+    segmentation head uses transposed convs (`ugan.py:58-83`)."""
+
+    out_ch: int
+    width: int = 32
+    norm_type: str = "instance"
+    act_type: str = "lrelu"
+    transposed: bool = True
+    use_tanh: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, skips: Sequence[jax.Array]) -> jax.Array:
+        w = self.width
+        for i, mult in zip((4, 3, 2, 1), (8, 4, 2, 1)):
+            x = UpSampleAndConcat(mult * w, transposed=self.transposed,
+                                  act_type=self.act_type, dtype=self.dtype,
+                                  name=f"up{i}")(x, skips[4 - i])
+            x = BasicBlock(mult * w, self.norm_type, self.act_type, self.dtype,
+                           name=f"dec{i}")(x)
+        x = conv1x1(self.out_ch, act_type=self.act_type, dtype=self.dtype,
+                    use_bias=True, name="fc")(x)
+        if self.use_tanh:
+            x = jnp.tanh(x)
+        return x
+
+
+def tile_modality_vec(x: jax.Array, m: Optional[jax.Array], n_modal: int) -> jax.Array:
+    """Concatenate the per-sample modality vector as constant spatial channels
+    (`ugan.py:108-114`)."""
+    b, h, w, _ = x.shape
+    if m is None:
+        m = jnp.zeros((b, n_modal), x.dtype)
+    m_map = jnp.broadcast_to(m.astype(x.dtype)[:, None, None, :], (b, h, w, n_modal))
+    return jnp.concatenate([x, m_map], axis=-1)
+
+
+class _UGANCore(nn.Module):
+    """Shared twin-tower body of UGAN / UGANnce (`ugan.py:86-123`)."""
+
+    out_ch: int
+    n_modal: int
+    width: int = 32
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, m):
+        kw = dict(norm_type="instance", act_type="lrelu", dtype=self.dtype)
+        x = x.astype(self.dtype)
+        tsl_in = tile_modality_vec(x, m, self.n_modal)
+
+        enc5 = BasicBlock(16 * self.width, "instance", "lrelu", self.dtype, name="enc5")
+
+        tsl_h, tsl_skips = UGANEncoder(self.width, name="tsl_encoder", **kw)(tsl_in)
+        tsl_bottleneck = enc5(tsl_h)
+        tsl = UGANDecoder(1, self.width, transposed=False, use_tanh=True,
+                          name="tsl_decoder", **kw)(tsl_bottleneck, tsl_skips)
+
+        seg_h, seg_skips = UGANEncoder(self.width, name="seg_encoder", **kw)(x)
+        seg_bottleneck = enc5(seg_h)
+        seg = UGANDecoder(self.out_ch, self.width, transposed=True, use_tanh=False,
+                          name="seg_decoder", **kw)(seg_bottleneck, seg_skips)
+        return seg.astype(jnp.float32), tsl.astype(jnp.float32), tsl_bottleneck
+
+
+class UGAN(nn.Module):
+    """Translator + segmenter; forward returns (seg_logits, translated)."""
+
+    out_ch: int
+    n_modal: int
+    width: int = 32
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, m: Optional[jax.Array] = None):
+        seg, tsl, _ = _UGANCore(self.out_ch, self.n_modal, self.width, self.dtype,
+                                name="core")(x, m)
+        return seg, tsl
+
+
+class PatchSampleF(nn.Module):
+    """MLP patch projector (`ugan.py:270-339`): gather ``patch_ids`` spatial
+    positions (shared across the batch, like the reference's single randperm),
+    project with Linear-ReLU-Linear, L2-normalize."""
+
+    nc: int = 256
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat: jax.Array, patch_ids: jax.Array) -> jax.Array:
+        b, h, w, c = feat.shape
+        flat = feat.reshape(b, h * w, c)
+        sample = jnp.take(flat, patch_ids, axis=1)          # [B, P, C]
+        sample = sample.reshape(b * patch_ids.shape[0], c).astype(self.dtype)
+        y = nn.Dense(self.nc, kernel_init=normal_init(0.02), dtype=self.dtype,
+                     param_dtype=jnp.float32, name="mlp_0_fc1")(sample)
+        y = jax.nn.relu(y)
+        y = nn.Dense(self.nc, kernel_init=normal_init(0.02), dtype=self.dtype,
+                     param_dtype=jnp.float32, name="mlp_0_fc2")(y)
+        y = y.astype(jnp.float32)
+        norm = jnp.sqrt(jnp.sum(jnp.square(y), axis=1, keepdims=True)) + 1e-7
+        return y / norm
+
+
+class UGANnce(nn.Module):
+    """UGAN + PatchNCE feature pool (`ugan.py:126-195`).
+
+    ``patch_ids`` replaces the reference's ``sample_ids`` plumbing: sample a
+    permutation of the bottleneck's H*W positions once per step and feed the
+    same ids to the translate and reconstruct passes.  ``val_phase=True``
+    skips the projector entirely.
+    """
+
+    out_ch: int
+    n_modal: int
+    width: int = 32
+    netF_nc: int = 256
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, m: Optional[jax.Array] = None,
+                 patch_ids: Optional[jax.Array] = None, val_phase: bool = False):
+        seg, tsl, tsl_bottleneck = _UGANCore(self.out_ch, self.n_modal, self.width,
+                                             self.dtype, name="core")(x, m)
+        if val_phase:
+            return seg, tsl
+        assert patch_ids is not None, "patch_ids required outside val_phase"
+        feat_pool = PatchSampleF(self.netF_nc, self.dtype, name="netF")(
+            tsl_bottleneck, patch_ids)
+        return seg, tsl, feat_pool
+
+
+def sample_patch_ids(rng: jax.Array, hw: int, num_patches: int) -> jax.Array:
+    """Reference behaviour: one randperm of the H*W positions, truncated to
+    ``num_patches``, shared across the batch (`ugan.py:318-323`)."""
+    return jax.random.permutation(rng, hw)[:num_patches]
+
+
+class Discriminator(nn.Module):
+    """PatchGAN + modality classifier (`ugan.py:198-229`): 4x4 stride-2 stem,
+    log2(input)-2-1 stride-2 BottleBlocks, then a 1-channel patch head and an
+    n_modal full-kernel class head."""
+
+    input_size: int
+    n_modal: int
+    width: int = 32
+    max_width: int = 512
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        import numpy as np
+
+        x = x.astype(self.dtype)
+        x = nn.Conv(self.width, kernel_size=(4, 4), strides=(2, 2),
+                    padding=[(1, 1), (1, 1)], use_bias=True,
+                    kernel_init=kaiming_normal_fan_out("lrelu"),
+                    dtype=self.dtype, param_dtype=jnp.float32, name="stem")(x)
+        x = jax.nn.leaky_relu(x, negative_slope=1e-2)
+
+        repeat_num = int(np.log2(self.input_size)) - 2
+        width = self.width
+        for i in range(1, repeat_num):
+            width = min(width * 2, self.max_width)
+            x = BottleBlock(width, "instance", "lrelu", stride=2, dtype=self.dtype,
+                            name=f"block{i}")(x)
+
+        out_src = conv3x3(1, dtype=self.dtype, name="conv_src")(x)
+        k = int(self.input_size // 2 ** repeat_num)
+        out_cls = nn.Conv(self.n_modal, kernel_size=(k, k), padding="VALID",
+                          use_bias=False, kernel_init=kaiming_normal_fan_out("lrelu"),
+                          dtype=self.dtype, param_dtype=jnp.float32, name="conv_cls")(x)
+        out_cls = out_cls.reshape(out_cls.shape[0], self.n_modal)
+        return out_src.astype(jnp.float32), out_cls.astype(jnp.float32)

@@ -1,0 +1,139 @@
+# -*- coding: utf-8 -*-
+"""Pure-function loss library.
+
+Re-derivations of `/root/reference/misc/loss.py`, `network/patchnce.py:6-51`
+and the trainer-local losses, as jit-friendly JAX functions over NHWC logits.
+All losses compute in float32.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def one_hot_last(labels: jax.Array, num_classes: int) -> jax.Array:
+    return jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)
+
+
+def get_tp_fp_fn(probs: jax.Array, labels: jax.Array,
+                 batch_dice: bool) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """tp/fp/fn reduced over spatial dims — and the batch dim when
+    ``batch_dice`` (`misc/loss.py:23-36` with dims=(0,2,3) or (2,3), NHWC here).
+    Returns arrays of shape [C] (batch_dice) or [B, C]."""
+    gt = one_hot_last(labels, probs.shape[-1])
+    dims = (0, 1, 2) if batch_dice else (1, 2)
+    tp = jnp.sum(probs * gt, axis=dims)
+    fp = jnp.sum(probs * (1.0 - gt), axis=dims)
+    fn = jnp.sum((1.0 - probs) * gt, axis=dims)
+    return tp, fp, fn
+
+
+def soft_dice_loss(logits: jax.Array, labels: jax.Array, batch_dice: bool = True,
+                   smooth: float = 1e-5) -> jax.Array:
+    """SoftDiceLoss (`misc/loss.py:39-63`): softmax, tp/fp/fn reduction,
+    background channel excluded, 1 - mean dice."""
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    tp, fp, fn = get_tp_fp_fn(probs, labels, batch_dice)
+    inter = 2.0 * tp + smooth
+    union = 2.0 * tp + fp + fn + smooth
+    dc = inter / (union + 1e-8)
+    dc = dc[1:] if batch_dice else dc[:, 1:]
+    return 1.0 - jnp.mean(dc)
+
+
+def cross_entropy_loss(logits: jax.Array, labels: jax.Array,
+                       class_weights: Optional[jax.Array] = None,
+                       reduce: bool = True) -> jax.Array:
+    """nn.CrossEntropyLoss semantics over [B,H,W,C] logits / [B,H,W] int
+    labels.  With ``class_weights`` the mean is weighted by the per-pixel
+    class weight (torch weighted-CE normalization)."""
+    logits = logits.astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    if class_weights is not None:
+        w = jnp.asarray(class_weights, jnp.float32)[labels]
+        if not reduce:
+            return nll * w
+        return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1e-8)
+    if not reduce:
+        return nll
+    return jnp.mean(nll)
+
+
+def dice_and_ce_loss(logits: jax.Array, labels: jax.Array, weight_dc: float = 0.5,
+                     weight_ce: float = 0.5, batch_dice: bool = True) -> jax.Array:
+    """DiceAndCrossEntropyLoss (`misc/loss.py:8-20`), built with
+    batch_dice=True by every trainer (`trainer/baseTrainer.py:57`)."""
+    dc = soft_dice_loss(logits, labels, batch_dice) if weight_dc != 0 else 0.0
+    ce = cross_entropy_loss(logits, labels) if weight_ce != 0 else 0.0
+    return weight_dc * dc + weight_ce * ce
+
+
+def softmax_mse_consistency(student_logits: jax.Array,
+                            teacher_logits: jax.Array) -> jax.Array:
+    """Mean-teacher consistency: MSE between softmaxes
+    (`trainer/meanTeacherTrainer.py:129-130`)."""
+    ps = jax.nn.softmax(student_logits.astype(jnp.float32), axis=-1)
+    pt = jax.nn.softmax(teacher_logits.astype(jnp.float32), axis=-1)
+    return jnp.mean(jnp.square(ps - pt))
+
+
+def argmax_consistency_loss(source_logits: jax.Array, target_logits: jax.Array,
+                            weight_dc: float = 0.5, weight_ce: float = 0.5) -> jax.Array:
+    """SMSUT consistency: Dice+CE of source vs argmax(target)
+    (`trainer/uganConsisTrainer.py:45-53`)."""
+    target = jnp.argmax(target_logits.astype(jnp.float32), axis=-1)
+    target = jax.lax.stop_gradient(target)
+    return dice_and_ce_loss(source_logits, target, weight_dc, weight_ce, batch_dice=True)
+
+
+def patch_nce_loss(feat_q: jax.Array, feat_k: jax.Array, n_bmm: int,
+                   temperature: float = 0.07) -> jax.Array:
+    """PatchNCELoss (`network/patchnce.py:13-51`).
+
+    ``feat_q``/``feat_k``: [B*P, C] L2-normalized pools; ``feat_k`` is
+    detached.  Negatives are formed within groups of ``n_bmm`` — the
+    reference constructs the loss with cfg.batch_size even when the pool
+    comes from a 2x batch, mixing patches of two images per group; that
+    behaviour is kept (`trainer/uganShp0Trainer.py:59`).
+    Returns the per-patch loss vector [B*P] (reduction='none').
+    """
+    feat_q = feat_q.astype(jnp.float32)
+    feat_k = jax.lax.stop_gradient(feat_k.astype(jnp.float32))
+    n, dim = feat_q.shape
+    l_pos = jnp.sum(feat_q * feat_k, axis=1, keepdims=True)          # [N,1]
+
+    q = feat_q.reshape(n_bmm, -1, dim)
+    k = feat_k.reshape(n_bmm, -1, dim)
+    npatches = q.shape[1]
+    l_neg = jnp.einsum("bpc,bqc->bpq", q, k, precision=jax.lax.Precision.HIGHEST)
+    eye = jnp.eye(npatches, dtype=bool)[None]
+    l_neg = jnp.where(eye, -10.0, l_neg).reshape(-1, npatches)       # [N,P]
+
+    logits = jnp.concatenate([l_pos, l_neg], axis=1) / temperature
+    logp = jax.nn.log_softmax(logits, axis=1)
+    return -logp[:, 0]
+
+
+def nce_loss_over_layers(feat_x_pools: Sequence[jax.Array],
+                         feat_f_pools: Sequence[jax.Array], n_bmm: int,
+                         temperature: float = 0.07) -> jax.Array:
+    """Average PatchNCE over nce layers (`trainer/uganConsisTrainer.py:55-64`);
+    query = reconstruction-pass features, key = translate-pass features."""
+    total = 0.0
+    for f_x, f_f in zip(feat_x_pools, feat_f_pools):
+        total += jnp.mean(patch_nce_loss(f_f, f_x, n_bmm, temperature))
+    return total / len(feat_x_pools)
+
+
+def l1_loss(a: jax.Array, b: jax.Array) -> jax.Array:
+    return jnp.mean(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))
+
+
+def softmax_ce_with_logits(logits: jax.Array, target_index: jax.Array) -> jax.Array:
+    """CE over [B, C] classifier logits (discriminator modality head)."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return -jnp.mean(jnp.take_along_axis(logp, target_index[:, None].astype(jnp.int32),
+                                         axis=-1))

@@ -1,0 +1,51 @@
+# -*- coding: utf-8 -*-
+"""Device mesh and sharding helpers.
+
+The reference's only multi-device path is single-process
+`torch.nn.DataParallel` (`/root/reference/trainer/uganShp0Trainer.py:66-68`).
+Here data parallelism is first-class: a 1-D ``('data',)`` mesh (extensible to
+('data', 'model')), batches sharded over the data axis, parameters/optimizer
+state replicated, and gradient all-reduce left to XLA's collectives over ICI.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int = 0, devices: Optional[Sequence] = None) -> Mesh:
+    """1-D data-parallel mesh over the first ``n_devices`` devices
+    (all local devices when 0)."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), ("data",))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree: Any) -> Any:
+    """device_put a host batch pytree with the batch dim sharded over 'data'.
+    Leading dims must divide the mesh size (eval pads batches, so they do)."""
+    sh = batch_sharding(mesh)
+
+    def put(x):
+        return jax.device_put(x, sh)
+
+    return jax.tree_util.tree_map(put, tree)
+
+
+def replicate(mesh: Mesh, tree: Any) -> Any:
+    sh = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)

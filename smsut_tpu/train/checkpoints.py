@@ -1,0 +1,36 @@
+# -*- coding: utf-8 -*-
+"""Orbax checkpointing with the reference's tag semantics.
+
+The reference saves bare ``state_dict`` files per tag — ``best.ckpt`` /
+``last.ckpt`` (`/root/reference/trainer/baseTrainer.py:113-123`), GAN trainers
+``{tag}_G.ckpt``/``{tag}_D.ckpt`` (`uganShp0Trainer.py:94-107`), CoraNet
+``pre_best``/``pre_ema_best`` (`coraNetTrainer.py:596-602`).  Here each tag is
+an orbax directory holding the *full* train state (params + optimizer + step
++ EMA), which additionally enables true mid-training resume — something the
+reference lacks (SURVEY §5)."""
+from __future__ import annotations
+
+import os
+from os.path import join as pjoin
+from typing import Any
+
+import jax
+import orbax.checkpoint as ocp
+
+PyTree = Any
+
+
+def save_state(state: PyTree, ckpt_root: str, prefix: str) -> str:
+    path = os.path.abspath(pjoin(ckpt_root, f"{prefix}.ckpt"))
+    ckptr = ocp.StandardCheckpointer()
+    # strip non-pytree fields (optax transforms) is handled by struct.PyTreeNode
+    ckptr.save(path, jax.device_get(state), force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def load_state(template: PyTree, ckpt_root: str, prefix: str) -> PyTree:
+    path = os.path.abspath(pjoin(ckpt_root, f"{prefix}.ckpt"))
+    ckptr = ocp.StandardCheckpointer()
+    target = jax.tree_util.tree_map(lambda x: x, template)
+    return ckptr.restore(path, target=jax.device_get(target))

@@ -1,0 +1,262 @@
+# -*- coding: utf-8 -*-
+"""The fit / validate / test harness.
+
+Functional re-design of `/root/reference/trainer/baseTrainer.py:125-318`: one
+generic epoch loop drives any Algorithm object (pure jitted train step) while
+the host side keeps the reference semantics — in-turn loaders, per-modality
+loss metering, slice→volume scatter for evaluation, mean-Dice model selection,
+best/last checkpoints, and the trois CSV in the test phase."""
+from __future__ import annotations
+
+import time
+from functools import partial
+from os.path import join as pjoin
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smsut_tpu.config import Config, Modality
+from smsut_tpu.data.dataset import Batch, BatchLoader, get_label_npys, get_loader
+from smsut_tpu.ops.losses import dice_and_ce_loss
+from smsut_tpu.ops.metrics import get_all_matrix, get_mo_matrix, matrix_to_csv
+from smsut_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from smsut_tpu.train import checkpoints
+from smsut_tpu.train.experiment import Experiment
+from smsut_tpu.utils.meter import Meter
+
+
+class _Cycler:
+    """next()-with-restart iteration like the reference's try/except
+    StopIteration pattern (`unetTrainer.py:59-63`)."""
+
+    def __init__(self, loader):
+        self.loader = loader
+        self.itr = iter(loader)
+
+    def next(self) -> Batch:
+        try:
+            return next(self.itr)
+        except StopIteration:
+            self.itr = iter(self.loader)
+            return next(self.itr)
+
+
+class Trainer:
+    def __init__(self, algo, cfg: Config, phase: str, args=None,
+                 experiment: Optional[Experiment] = None, use_mesh: bool = True):
+        self.algo = algo
+        self.cfg = cfg
+        self.phase = phase
+        self.args = args
+        self.fold = 0 if args is None else getattr(args, "fold", 0)
+        expr_name = None
+        if args is not None and getattr(args, "expr_name", None):
+            expr_name = args.expr_name
+        self.expr_name = expr_name or algo.__class__.__name__
+        self.exp = experiment or Experiment(cfg.expr_root, self.expr_name, phase)
+        self.mesh = make_mesh(cfg.data_parallel) if use_mesh else None
+        self.epoch = 0
+        self.rng = jax.random.PRNGKey(cfg.seed)
+        self.rng, init_rng = jax.random.split(self.rng)
+        self.state = algo.init_state(init_rng)
+        if self.mesh is not None:
+            self.state = replicate(self.mesh, self.state)
+        self._eval_step = jax.jit(self._eval_step_impl)
+
+    # ------------------------------------------------------------------ utils
+    def info(self, s):
+        self.exp.info(s)
+
+    def _put(self, tree):
+        if self.mesh is not None:
+            return shard_batch(self.mesh, tree)
+        return jax.device_put(tree)
+
+    def _eval_step_impl(self, params, img, msk):
+        logits = self.algo.eval_fn(params, img)
+        loss = dice_and_ce_loss(logits, msk, self.cfg.weight_dc, self.cfg.weight_ce,
+                                batch_dice=True)
+        pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return loss, pred
+
+    # ------------------------------------------------------------------- fit
+    def fit(self, loader_type: str = "inTurn") -> None:
+        cfg = self.cfg
+        tic = time.time()
+        import random as pyrandom
+
+        data_rng = pyrandom.Random(cfg.seed)
+        lb_loader = get_loader(cfg.base_root, "train", self.fold, cfg.batch_size,
+                               cfg.data_aug, cfg=cfg, rng=data_rng)
+        ul_loader = get_loader(cfg.base_root, "val", self.fold, cfg.batch_size,
+                               cfg.data_aug, cfg=cfg, rng=data_rng)
+        test_loader = get_loader(cfg.base_root, "test", 0, cfg.batch_size, cfg=cfg)
+
+        self.info(f"train labeled images: {len(lb_loader.dataset)}")
+        self.info(f"train unlabel images: {len(ul_loader.dataset)}")
+        self.info(f"test  images: {len(test_loader.dataset)}")
+
+        n_tst_slic, tst_npys = get_label_npys(cfg.base_root, "test", cfg.split_yaml)
+        self.info("Load data cost %.4fs." % (time.time() - tic))
+        tic = time.time()
+
+        min_keys = [f"loss_{i}" for i in range(cfg.n_modal)] + ["loss"]
+        max_keys = [f"dice_{i}" for i in range(cfg.n_modal)] + ["dice"]
+        train_meter = Meter(min_keys, [], alpha=cfg.exp_alpha)
+        test_meter = Meter(min_keys, max_keys, alpha=1.0)
+        best_epoch = -1
+
+        lb_itr, ul_itr = _Cycler(lb_loader), _Cycler(ul_loader)
+        for epoch in range(self.algo.max_epoch if hasattr(self.algo, "max_epoch")
+                           else cfg.max_epoch):
+            train_meter.reset_cur()
+            self.train_epoch(lb_itr, ul_itr, train_meter)
+            self.epoch += 1
+            train_meter.update_cur()
+
+            lr = float(cfg.lr * (1.0 - max(int(self.state.step) - 1, 0)
+                                 / cfg.total_iters) ** 0.9)
+            self.info("")
+            self.info(f"lr: {lr}.")
+            self.info("[TRN] Epoch: %d(%d)/%d, elapsed: %.2fs," %
+                      (epoch, best_epoch, cfg.max_epoch, time.time() - tic)
+                      + str(train_meter))
+            self._write_scalars("train", train_meter, epoch)
+            self.exp.scalar("train/lr", lr, epoch)
+            tic = time.time()
+
+            test_meter.reset_cur()
+            n_prd_slic, prd_npys = self.validate_epoch(test_loader, tst_npys, test_meter)
+            assert n_prd_slic == n_tst_slic
+            v = self.validate_dice(prd_npys, tst_npys)
+            test_meter.accumulate(v, {k: 1.0 for k in v.keys()})
+            test_meter.update_cur()
+            self.info("[TST] Epoch: %d/%d, elapsed: %.2fs," %
+                      (epoch, cfg.max_epoch, time.time() - tic) + str(test_meter))
+            self._write_scalars("test", test_meter, epoch)
+            tic = time.time()
+
+            if test_meter.cur_values["dice"] >= test_meter.best_values["dice"]:
+                self.save_model("best")
+                best_epoch = epoch
+
+            if hasattr(self.algo, "on_epoch_end"):
+                self.algo.on_epoch_end(self, epoch)
+
+        self.save_model("last")
+
+    def _write_scalars(self, prefix: str, meter: Meter, epoch: int) -> None:
+        for k, v in meter.cur_values.items():
+            if "_" in k:
+                typ, m = k.split("_")
+                new_k = f"{typ}_{Modality(int(m)).name}"
+            else:
+                new_k = k
+            self.exp.scalar(f"{prefix}/{new_k}", v, epoch)
+
+    # ----------------------------------------------------------- train epoch
+    def train_epoch(self, lb_itr: _Cycler, ul_itr: _Cycler, meter: Meter) -> None:
+        cfg = self.cfg
+        scalars_host = self.algo.epoch_scalars(self.epoch)
+        pending = []  # (device loss, modality, n) fetched lazily
+        log_step = getattr(self.algo, "log_step", 0)
+        tic = time.time()
+        n_iters = cfg.num_iter_per_epoch * getattr(self.algo, "n_critic", 1)
+        for i in range(n_iters):
+            lb = lb_itr.next()
+            batch = {"img": lb.img, "msk": lb.msk}
+            if getattr(self.algo, "uses_unlabeled", False):
+                ul = ul_itr.next()
+                batch["ul_img"] = ul.img
+            m = int(lb.mdl[0])
+            self.rng, step_rng = jax.random.split(self.rng)
+            scalars = dict(scalars_host)
+            scalars.update(self.algo.iter_scalars(step_rng) if
+                           hasattr(self.algo, "iter_scalars") else {})
+            batch = self._put(batch)
+            self.state, metrics = self.algo.train_step(self.state, batch, scalars)
+            pending.append((metrics, m, lb.batch_size))
+            if log_step and (i + 1) % log_step == 0:
+                last = {k: float(v) for k, v in pending[-1][0].items()}
+                msg = "Iter: %d/%d(%d), elapsed: %.2fs," % (
+                    i, n_iters, int(self.state.step), time.time() - tic)
+                tic = time.time()
+                for k, v in last.items():
+                    msg += " %s: %.4f," % (k, v)
+                self.info(msg)
+        # drain metrics once per epoch (single host sync)
+        for metrics, m, n in pending:
+            loss = float(metrics["loss"])
+            v, cnt = Meter.collect_loss_by(loss, m, n)
+            meter.accumulate(v, cnt)
+
+    # ------------------------------------------------------------ validation
+    def validate_epoch(self, loader: BatchLoader, npys: Dict[str, np.ndarray],
+                       meter: Optional[Meter] = None
+                       ) -> Tuple[int, Dict[str, np.ndarray]]:
+        cfg = self.cfg
+        prd_npys = {k: np.zeros(v.shape, dtype=v.dtype) for k, v in npys.items()}
+        n_prd_slic = 0
+        params = self.algo.eval_params(self.state)
+        pending = []
+        for batch in loader:
+            b = batch.batch_size
+            img, msk = batch.img, batch.msk
+            if b != cfg.batch_size:
+                # pad partial batches to keep a single compiled shape
+                # (`baseTrainer.py:216-226`)
+                pad = cfg.batch_size - b
+                img = np.concatenate([img, np.zeros((pad,) + img.shape[1:],
+                                                    img.dtype)])
+                msk = np.concatenate([msk, np.zeros((pad,) + msk.shape[1:],
+                                                    msk.dtype)])
+            assert len(np.unique(batch.mdl)) == 1
+            dev = self._put({"img": img, "msk": msk})
+            loss, pred = self._eval_step(params, dev["img"], dev["msk"])
+            pending.append((loss, pred, batch))
+        for loss, pred, batch in pending:
+            b = batch.batch_size
+            if meter is not None:
+                v, n = Meter.collect_loss_by(float(loss), int(batch.mdl[0]),
+                                             batch.img.shape[0])
+                meter.accumulate(v, n)
+            pred = np.asarray(pred)[:b]
+            for i in range(b):
+                m, pid, z = batch.names[i].split("_")
+                prd_npys[f"{m}_{pid}"][int(z)] = pred[i]
+                n_prd_slic += 1
+        return n_prd_slic, prd_npys
+
+    def validate_dice(self, prd_npys, gt_npys) -> Dict[str, float]:
+        mo = get_mo_matrix(prd_npys, gt_npys, self.cfg)
+        dices = {f"dice_{i}": mo[i, -1] for i in range(self.cfg.n_modal)}
+        dices["dice"] = mo[-1, -1]
+        return dices
+
+    # ------------------------------------------------------------------ test
+    def test(self, loader_type: str, expr_root: str) -> str:
+        cfg = self.cfg
+        test_loader = get_loader(cfg.base_root, "test", 0, cfg.batch_size, cfg=cfg)
+        n_gt_slic, gt_npys = get_label_npys(cfg.base_root, "test", cfg.split_yaml)
+        n_prd_slic, prd_npys = self.validate_epoch(test_loader, gt_npys, None)
+        assert n_prd_slic == n_gt_slic
+        matrix = get_mo_matrix(prd_npys, gt_npys, cfg)
+        dc_matrix, hd_matrix, assd_matrix = get_all_matrix(prd_npys, gt_npys, cfg)
+        log = matrix_to_csv(matrix, assd_matrix)
+        save_path = pjoin(expr_root, "all_trois_matrix.csv")
+        with open(save_path, "w") as f:
+            f.write(log)
+        self.info(log)
+        return save_path
+
+    # ------------------------------------------------------------ checkpoint
+    def save_model(self, prefix: str) -> None:
+        path = checkpoints.save_state(self.state, self.exp.ckpt_root, prefix)
+        self.info(f"Save model to {path}.")
+
+    def load_model(self, model_idx: Optional[str], which_ckpt: str = "last") -> None:
+        ckpt_root = pjoin(self.exp.expr_root, model_idx or self.exp.model_idx, "ckpt")
+        self.state = checkpoints.load_state(self.state, ckpt_root, which_ckpt)
+        self.info(f"Load model from {ckpt_root}/{which_ckpt}.ckpt.")
