@@ -45,11 +45,13 @@ def make_semi_split(pids_per_modality: Dict[str, List[str]],
         pool = shuffled[n_test:]
         n_train = max(1, round(len(pool) * ratios[0] / (ratios[0] + ratios[1])))
 
-        train_folds, val_folds = {}, {}
+        # reference yaml layout: train/val are 5-element lists indexed by fold
+        # (`toPngAndSplit.py:122-127`)
+        train_folds, val_folds = [], []
         for fold in range(n_fold):
             rot = pool[fold * n_train % len(pool):] + pool[: fold * n_train % len(pool)]
-            train_folds[fold] = rot[:n_train]
-            val_folds[fold] = rot[n_train:]
+            train_folds.append(rot[:n_train])
+            val_folds.append(rot[n_train:])
         split[modality] = {"train": train_folds, "val": val_folds, "test": test}
 
     _check_split(split, n_fold)
@@ -60,14 +62,10 @@ def _check_split(split: Dict, n_fold: int) -> None:
     """Every volume appears exactly once per fold across train/val/test
     (`toPngAndSplit.py:138-150`)."""
     for modality, s in split.items():
-        universe = set(s["test"])
         for fold in range(n_fold):
             seen = list(s["test"]) + list(s["train"][fold]) + list(s["val"][fold])
             assert len(seen) == len(set(seen)), \
                 f"duplicate pid in {modality} fold {fold}"
-            if universe | set(s["train"][fold]) | set(s["val"][fold]) != \
-                    set(seen):
-                raise AssertionError(f"inconsistent split for {modality}")
 
 
 def load_split(path: str) -> Dict:

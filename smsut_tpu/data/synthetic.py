@@ -63,8 +63,8 @@ def make_synthetic_dataset(root: str, n_patients_per_modality: int = 3,
         n_tr = max(1, n_patients_per_modality // 3)
         n_va = max(1, (n_patients_per_modality - n_tr) // 2)
         split[m] = {
-            "train": {f: pids[:n_tr] for f in range(n_fold)},
-            "val": {f: pids[n_tr:n_tr + n_va] for f in range(n_fold)},
+            "train": [pids[:n_tr] for _ in range(n_fold)],
+            "val": [pids[n_tr:n_tr + n_va] for _ in range(n_fold)],
             "test": pids[n_tr + n_va:] or pids[-1:],
         }
     write_yaml(split, pjoin(root, split_yaml))

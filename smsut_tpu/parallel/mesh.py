@@ -16,13 +16,21 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_devices: int = 0, devices: Optional[Sequence] = None) -> Mesh:
+def make_mesh(n_devices: int = 0, devices: Optional[Sequence] = None,
+              batch_size: int = 0) -> Mesh:
     """1-D data-parallel mesh over the first ``n_devices`` devices
-    (all local devices when 0)."""
+    (all local devices when 0).  When ``batch_size`` is given, the mesh is
+    clamped to the largest device count that divides the batch so batch-dim
+    sharding is always valid."""
     if devices is None:
         devices = jax.devices()
     if n_devices:
         devices = devices[:n_devices]
+    if batch_size:
+        n = len(devices)
+        while n > 1 and batch_size % n:
+            n -= 1
+        devices = devices[:n]
     return Mesh(np.asarray(devices), ("data",))
 
 

@@ -34,3 +34,11 @@ def load_state(template: PyTree, ckpt_root: str, prefix: str) -> PyTree:
     ckptr = ocp.StandardCheckpointer()
     target = jax.tree_util.tree_map(lambda x: x, template)
     return ckptr.restore(path, target=jax.device_get(target))
+
+
+def load_raw(ckpt_root: str, prefix: str) -> PyTree:
+    """Restore a checkpoint as a raw pytree (no template) — used for partial
+    restores across stages with different optimizer trees (CoraNet stage B
+    loads only params/ema from stage A's ``pre_best``)."""
+    path = os.path.abspath(pjoin(ckpt_root, f"{prefix}.ckpt"))
+    return ocp.StandardCheckpointer().restore(path)

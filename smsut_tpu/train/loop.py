@@ -56,7 +56,8 @@ class Trainer:
             expr_name = args.expr_name
         self.expr_name = expr_name or algo.__class__.__name__
         self.exp = experiment or Experiment(cfg.expr_root, self.expr_name, phase)
-        self.mesh = make_mesh(cfg.data_parallel) if use_mesh else None
+        self.mesh = (make_mesh(cfg.data_parallel, batch_size=cfg.batch_size)
+                     if use_mesh else None)
         self.epoch = 0
         self.rng = jax.random.PRNGKey(cfg.seed)
         self.rng, init_rng = jax.random.split(self.rng)
@@ -88,6 +89,7 @@ class Trainer:
         import random as pyrandom
 
         data_rng = pyrandom.Random(cfg.seed)
+        self._data_rng = data_rng
         lb_loader = get_loader(cfg.base_root, "train", self.fold, cfg.batch_size,
                                cfg.data_aug, cfg=cfg, rng=data_rng)
         ul_loader = get_loader(cfg.base_root, "val", self.fold, cfg.batch_size,
@@ -108,9 +110,25 @@ class Trainer:
         test_meter = Meter(min_keys, max_keys, alpha=1.0)
         best_epoch = -1
 
+        self._ul_loader = ul_loader  # algorithms with host-side pseudo-label
         lb_itr, ul_itr = _Cycler(lb_loader), _Cycler(ul_loader)
-        for epoch in range(self.algo.max_epoch if hasattr(self.algo, "max_epoch")
-                           else cfg.max_epoch):
+        if hasattr(self.algo, "set_fixed_batch"):
+            # fixed images for the per-epoch translation grid
+            # (`uganShp0Trainer.py:149-155`)
+            fb = lb_itr.next()
+            img, mdl = fb.img, fb.mdl
+            if getattr(self.algo, "uses_unlabeled", False):
+                fb2 = ul_itr.next()
+                img = np.concatenate([img, fb2.img])
+                mdl = np.concatenate([mdl, fb2.mdl])
+            self.algo.set_fixed_batch(jnp.asarray(img), jnp.asarray(mdl))
+        max_epoch = (self.algo.max_epoch if hasattr(self.algo, "max_epoch")
+                     else cfg.max_epoch)
+        best_prefix = getattr(self.algo, "best_prefix", "best")
+        last_prefix = getattr(self.algo, "last_prefix", "last")
+        for epoch in range(max_epoch):
+            if hasattr(self.algo, "on_epoch_start"):
+                self.algo.on_epoch_start(self, epoch)
             train_meter.reset_cur()
             self.train_epoch(lb_itr, ul_itr, train_meter)
             self.epoch += 1
@@ -139,13 +157,13 @@ class Trainer:
             tic = time.time()
 
             if test_meter.cur_values["dice"] >= test_meter.best_values["dice"]:
-                self.save_model("best")
+                self.save_model(best_prefix)
                 best_epoch = epoch
 
             if hasattr(self.algo, "on_epoch_end"):
                 self.algo.on_epoch_end(self, epoch)
 
-        self.save_model("last")
+        self.save_model(last_prefix)
 
     def _write_scalars(self, prefix: str, meter: Meter, epoch: int) -> None:
         for k, v in meter.cur_values.items():
@@ -166,10 +184,13 @@ class Trainer:
         n_iters = cfg.num_iter_per_epoch * getattr(self.algo, "n_critic", 1)
         for i in range(n_iters):
             lb = lb_itr.next()
-            batch = {"img": lb.img, "msk": lb.msk}
+            batch = {"img": lb.img, "msk": lb.msk, "mdl": lb.mdl}
             if getattr(self.algo, "uses_unlabeled", False):
                 ul = ul_itr.next()
                 batch["ul_img"] = ul.img
+                batch["ul_mdl"] = ul.mdl
+            if hasattr(self.algo, "make_extra_batch"):
+                batch.update(self.algo.make_extra_batch())
             m = int(lb.mdl[0])
             self.rng, step_rng = jax.random.split(self.rng)
             scalars = dict(scalars_host)

@@ -1,0 +1,98 @@
+# -*- coding: utf-8 -*-
+"""CoraNet step/head-split/pseudo-label tests."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from smsut_tpu.config import Config
+from smsut_tpu.train.steps.coranet import CoraNet, coranet_weights, split_heads
+
+CFG = Config(input_size=32, base_width=4, batch_size=2, num_iter_per_epoch=2,
+             pre_epoch=1, cora_epoch=2, pred_step=1, compute_dtype="float32")
+
+
+def test_head_split_shapes(rng):
+    out = jnp.asarray(rng.normal(size=(2, 8, 8, 13)).astype(np.float32))
+    h0, h1, h2 = split_heads(out, 4)
+    assert h0.shape == h1.shape == h2.shape == (2, 8, 8, 5)
+    # shared background channel
+    np.testing.assert_array_equal(np.asarray(h0[..., 0]), np.asarray(out[..., 0]))
+    np.testing.assert_array_equal(np.asarray(h1[..., 0]), np.asarray(out[..., 0]))
+    np.testing.assert_array_equal(np.asarray(h0[..., 1:]), np.asarray(out[..., 1:5]))
+    np.testing.assert_array_equal(np.asarray(h2[..., 1:]), np.asarray(out[..., 9:13]))
+
+
+def test_coranet_weights():
+    w_con, w_rad = coranet_weights(4)
+    np.testing.assert_array_equal(np.asarray(w_con), [1, 5, 5, 5, 5])
+    np.testing.assert_array_equal(np.asarray(w_rad), [5, 1, 1, 1, 1])
+
+
+def test_pre_step(rng):
+    algo = CoraNet(CFG, stage="pre")
+    state = algo.init_state(jax.random.PRNGKey(0))
+    batch = {
+        "img": jnp.asarray(rng.normal(size=(2, 32, 32, 1)).astype(np.float32)),
+        "msk": jnp.asarray(rng.integers(0, 5, size=(2, 32, 32)).astype(np.int32)),
+    }
+    state, m = algo.train_step(state, batch, algo.epoch_scalars(0))
+    for k in ("loss", "cedc_loss", "loss_con", "loss_rad"):
+        assert np.isfinite(float(m[k])), k
+    assert int(state.step) == 1
+    # EMA snapped to params at iter 0 (alpha == 0)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(state.ema_params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(state.params)[0]), rtol=1e-6)
+
+
+def test_cora_step_gating(rng):
+    algo = CoraNet(CFG, stage="cora")
+    state = algo.init_state(jax.random.PRNGKey(0))
+    batch = {
+        "img": jnp.asarray(rng.normal(size=(2, 32, 32, 1)).astype(np.float32)),
+        "msk": jnp.asarray(rng.integers(0, 5, size=(2, 32, 32)).astype(np.int32)),
+        "pse_img": jnp.asarray(rng.normal(size=(2, 32, 32, 1)).astype(np.float32)),
+        "pse_lab": jnp.asarray(rng.integers(0, 5, size=(2, 32, 32)).astype(np.int32)),
+        "pse_mask": jnp.asarray(rng.integers(0, 2, size=(2, 32, 32)).astype(np.int32)),
+    }
+    state, m = algo.train_step(state, batch, algo.epoch_scalars(0))
+    # before iter 1000: certain/uncertain contributions gated to zero
+    assert float(m["certain_loss"]) == 0.0
+    assert float(m["uncertain_loss"]) == 0.0
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_pred_unlabel_batching(rng):
+    algo = CoraNet(CFG, stage="cora")
+    state = algo.init_state(jax.random.PRNGKey(0))
+
+    def stream():
+        for i in range(5):  # odd count -> exercises padding path
+            img = rng.normal(size=(32, 32, 1)).astype(np.float32)
+            lab = rng.integers(0, 5, size=(32, 32)).astype(np.int32)
+            yield img, lab, i % 4
+
+    data, plab_dice = algo.pred_unlabel(state, stream())
+    assert data["img"].shape == (5, 32, 32, 1)
+    assert data["plab"].shape == (5, 32, 32)
+    assert set(np.unique(data["mask"])) <= {0, 1}
+    assert np.isfinite(plab_dice)
+
+
+def test_make_extra_batch_drop_last(rng):
+    algo = CoraNet(CFG, stage="cora")
+    algo._pseudo = {
+        "img": rng.normal(size=(5, 32, 32, 1)).astype(np.float32),
+        "plab": rng.integers(0, 5, size=(5, 32, 32)).astype(np.int32),
+        "mask": rng.integers(0, 2, size=(5, 32, 32)).astype(np.int32),
+        "lab": rng.integers(0, 5, size=(5, 32, 32)).astype(np.int32),
+        "mdl": np.zeros(5, np.int32),
+    }
+    algo._pseudo_order = []
+    seen = set()
+    for _ in range(4):
+        b = algo.make_extra_batch()
+        assert b["pse_img"].shape[0] == CFG.batch_size
+    # cycling reshuffles without crashing on the partial remainder

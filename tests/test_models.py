@@ -71,7 +71,7 @@ def test_ugan_shared_bottleneck():
 
 def test_ugannce_patch_pool():
     net = UGANnce(out_ch=5, n_modal=4, width=8, netF_nc=64)
-    x = jnp.zeros((2, 64, 64, 1))
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, 64, 64, 1))
     m = jnp.zeros((2, 4))
     ids = sample_patch_ids(jax.random.PRNGKey(1), (64 // 16) ** 2, 8)
     params = net.init(jax.random.PRNGKey(0), x, m, ids)
