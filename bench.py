@@ -20,13 +20,14 @@ import time
 import numpy as np
 
 
-def bench_jax(model: str, iters: int = 30, warmup: int = 3) -> float:
+def bench_jax(model: str, iters: int = 30, warmup: int = 3,
+              use_pallas: bool = False) -> float:
     import jax
     import jax.numpy as jnp
 
     from smsut_tpu.config import Config
 
-    cfg = Config()
+    cfg = Config(use_pallas=use_pallas)
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.normal(size=(cfg.batch_size, cfg.input_size,
                                        cfg.input_size, 1)).astype(np.float32))
@@ -41,6 +42,21 @@ def bench_jax(model: str, iters: int = 30, warmup: int = 3) -> float:
         state = algo.init_state(jax.random.PRNGKey(0))
         batch = {"img": img, "msk": msk}
         scalars = {}
+
+        def step(state):
+            return algo.train_step(state, batch, scalars)
+    elif model == "uganConsis":
+        # full SMSUT iteration at reference scale: 16-image concat batch,
+        # D step + WGAN-GP + G triple forward + PatchNCE
+        from smsut_tpu.train.steps.gan import UGANConsisAlgo
+
+        algo = UGANConsisAlgo(cfg)
+        state = algo.init_state(jax.random.PRNGKey(0))
+        mdl = jnp.zeros((cfg.batch_size,), jnp.int32)
+        batch = {"img": img, "msk": msk, "mdl": mdl,
+                 "ul_img": img, "ul_mdl": mdl}
+        scalars = dict(algo.epoch_scalars(1),
+                       **algo.iter_scalars(jax.random.PRNGKey(1)))
 
         def step(state):
             return algo.train_step(state, batch, scalars)
@@ -152,9 +168,11 @@ def main():
     ap.add_argument("--model", default="unet")
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--skip-baseline", action="store_true")
+    ap.add_argument("--pallas", action="store_true",
+                    help="use the fused Pallas instance-norm kernel")
     args = ap.parse_args()
 
-    tpu = bench_jax(args.model, args.iters)
+    tpu = bench_jax(args.model, args.iters, use_pallas=args.pallas)
     baseline = 0.0
     if not args.skip_baseline:
         try:

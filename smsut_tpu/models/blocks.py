@@ -16,6 +16,7 @@ from flax import linen as nn
 
 from smsut_tpu.models.layers import (
     InstanceNorm,
+    NormAct,
     avg_pool2,
     conv,
     conv1x1,
@@ -44,14 +45,13 @@ class BasicBlock(nn.Module):
         act = get_act(self.act_type)
         identity = x
         y = conv3x3(self.features, act_type=self.act_type, dtype=self.dtype, name="conv1")(x)
-        y = get_norm(self.norm_type, self.dtype, name="bn1")(y)
-        y = act(y)
+        y = NormAct(self.norm_type, self.act_type, self.dtype, name="bn1")(y)
         y = conv3x3(self.features, act_type=self.act_type, dtype=self.dtype, name="conv2")(y)
-        y = get_norm(self.norm_type, self.dtype, name="bn2")(y)
+        y = NormAct(self.norm_type, None, self.dtype, name="bn2")(y)
         if x.shape[-1] != self.features:
             identity = conv1x1(self.features, act_type=self.act_type, dtype=self.dtype,
                                name="shortcut1")(identity)
-            identity = get_norm(self.norm_type, self.dtype, name="shortcut2")(identity)
+            identity = NormAct(self.norm_type, None, self.dtype, name="shortcut2")(identity)
         return act(y + identity)
 
 
@@ -70,18 +70,17 @@ class BottleBlock(nn.Module):
         assert self.stride in (1, 2)
         act = get_act(self.act_type)
         y = conv3x3(self.features, act_type=self.act_type, dtype=self.dtype, name="conv1")(x)
-        y = get_norm(self.norm_type, self.dtype, name="bn1")(y)
-        y = act(y)
+        y = NormAct(self.norm_type, self.act_type, self.dtype, name="bn1")(y)
         if self.stride == 2:
             y = avg_pool2(y)
         y = conv3x3(self.features, act_type=self.act_type, dtype=self.dtype, name="conv2")(y)
-        y = get_norm(self.norm_type, self.dtype, name="bn2")(y)
+        y = NormAct(self.norm_type, None, self.dtype, name="bn2")(y)
 
         identity = avg_pool2(x) if self.stride == 2 else x
         if x.shape[-1] != self.features:
             identity = conv1x1(self.features, act_type=self.act_type, dtype=self.dtype,
                                name="short_conv")(identity)
-            identity = get_norm(self.norm_type, self.dtype, name="short_norm")(identity)
+            identity = NormAct(self.norm_type, None, self.dtype, name="short_norm")(identity)
         return act(y + identity)
 
 
@@ -126,11 +125,9 @@ class Encoder(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> Tuple[jax.Array, List[jax.Array]]:
-        act = get_act(self.act_type)
         w = self.width
         x = conv(w // 2, 5, act_type=self.act_type, dtype=self.dtype, name="pre_conv")(x)
-        x = get_norm(self.norm_type, self.dtype, name="pre_bn")(x)
-        x = act(x)
+        x = NormAct(self.norm_type, self.act_type, self.dtype, name="pre_bn")(x)
 
         skips = []
         for i, mult in enumerate((1, 2, 4, 8)):

@@ -79,6 +79,62 @@ class BatchNorm(nn.Module):
         return y.astype(self.dtype)
 
 
+class NormAct(nn.Module):
+    """Norm followed by an optional activation.  On TPU with fusion enabled
+    (``Config.use_pallas``), instance-norm(+lrelu) dispatches to the fused
+    Pallas kernel when the per-sample block fits VMEM; otherwise it runs the
+    plain path (identical math — see tests/test_pallas_instnorm.py)."""
+
+    norm_type: str = "instance"
+    act_type: Optional[str] = None   # None | 'relu' | 'lrelu'
+    dtype: Dtype = jnp.float32
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+
+        if self.norm_type != "instance":  # training-mode batch norm
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=(0, 1, 2), keepdims=True)
+            var = jnp.mean(jnp.square(xf), axis=(0, 1, 2), keepdims=True) \
+                - jnp.square(mean)
+            y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+            y = y.astype(self.dtype)
+            return get_act(self.act_type)(y) if self.act_type else y
+
+        if fused_norm_enabled() and self.act_type in (None, "lrelu"):
+            from smsut_tpu.ops import instnorm_pallas as inp
+
+            if inp.fits_vmem(x.shape, x.dtype):
+                fn = (inp.instance_norm_lrelu if self.act_type == "lrelu"
+                      else inp.instance_norm_affine)
+                return fn(x, scale, bias)
+
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+        var = jnp.mean(jnp.square(xf), axis=(1, 2), keepdims=True) - jnp.square(mean)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+        y = y.astype(self.dtype)
+        return get_act(self.act_type)(y) if self.act_type else y
+
+
+_FUSED_NORM = False
+
+
+def set_fused_norm(enabled: bool) -> None:
+    """Trace-time toggle for the fused Pallas instance-norm path (set from
+    Config.use_pallas by the algorithms; only effective on TPU backends)."""
+    global _FUSED_NORM
+    _FUSED_NORM = enabled
+
+
+def fused_norm_enabled() -> bool:
+    return _FUSED_NORM and jax.default_backend() == "tpu"
+
+
 def get_norm(norm_type: str, dtype: Dtype = jnp.float32, name: Optional[str] = None) -> nn.Module:
     if norm_type == "instance":
         return InstanceNorm(dtype=dtype, name=name)

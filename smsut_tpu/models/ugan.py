@@ -24,6 +24,7 @@ from flax import linen as nn
 
 from smsut_tpu.models.blocks import BasicBlock, BottleBlock, UpSampleAndConcat
 from smsut_tpu.models.layers import (
+    NormAct,
     conv,
     conv1x1,
     conv3x3,
@@ -48,11 +49,9 @@ class UGANEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> Tuple[jax.Array, List[jax.Array]]:
-        act = get_act(self.act_type)
         w = self.width
         x = conv(w // 2, 5, act_type=self.act_type, dtype=self.dtype, name="pre_conv")(x)
-        x = get_norm(self.norm_type, self.dtype, name="pre_bn")(x)
-        x = act(x)
+        x = NormAct(self.norm_type, self.act_type, self.dtype, name="pre_bn")(x)
 
         skips = []
         for i, mult in enumerate((1, 2, 4, 8)):

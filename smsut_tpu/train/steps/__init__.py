@@ -1,0 +1,12 @@
+# -*- coding: utf-8 -*-
+import jax.numpy as jnp
+
+from smsut_tpu.config import Config
+from smsut_tpu.models.layers import set_fused_norm
+
+
+def setup_compute(cfg: Config):
+    """Shared algorithm setup: resolve the activation dtype and arm the fused
+    Pallas norm path when requested."""
+    set_fused_norm(cfg.use_pallas)
+    return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32

@@ -41,6 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from smsut_tpu.config import Config
+from smsut_tpu.train.steps import setup_compute
 from smsut_tpu.models import UNet
 from smsut_tpu.ops.losses import (
     cross_entropy_loss,
@@ -82,7 +83,7 @@ class CoraNet:
     def __init__(self, cfg: Config, stage: str = "pre"):
         self.cfg = cfg
         self.stage = stage
-        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        dtype = setup_compute(cfg)
         self.net = UNet(out_ch=cfg.n_label * 3 + 1, width=cfg.base_width,
                         norm_type="instance", act_type="lrelu", dtype=dtype)
         self.w_con, self.w_rad = coranet_weights(cfg.n_label)

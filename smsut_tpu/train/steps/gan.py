@@ -34,6 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from smsut_tpu.config import Config
+from smsut_tpu.train.steps import setup_compute
 from smsut_tpu.models import Discriminator, UGAN, UGANnce, sample_patch_ids
 from smsut_tpu.ops.losses import (
     argmax_consistency_loss,
@@ -69,7 +70,7 @@ class UGANBase:
 
     def __init__(self, cfg: Config):
         self.cfg = cfg
-        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        dtype = setup_compute(cfg)
         self.dtype = dtype
         self.with_nce = self.variant in ("uganShp0", "uganConsis")
         if self.with_nce:

@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from smsut_tpu.config import Config
+from smsut_tpu.train.steps import setup_compute
 from smsut_tpu.models import UNet
 from smsut_tpu.ops.losses import dice_and_ce_loss
 from smsut_tpu.train.state import TrainState, make_sgd
@@ -27,7 +28,7 @@ class SupervisedUNet:
 
     def __init__(self, cfg: Config):
         self.cfg = cfg
-        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        dtype = setup_compute(cfg)
         self.net = UNet(out_ch=cfg.n_class, width=cfg.base_width,
                         norm_type="instance", act_type="lrelu", dtype=dtype)
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
