@@ -163,6 +163,60 @@ def bench_torch_cpu(iters: int = 2, warmup: int = 1) -> float:
     return iters * 8 / dt
 
 
+def bench_pipeline(device_augment: bool, iters: int = 30) -> float:
+    """Full input pipeline + train step on synthetic 256^2 data: loader ->
+    augmentation (host or fused on-device warp) -> jitted supervised step."""
+    import random
+    import tempfile
+
+    import jax
+
+    from smsut_tpu.config import Config
+    from smsut_tpu.data.dataset import get_loader
+    from smsut_tpu.data.synthetic import make_synthetic_dataset
+    from smsut_tpu.train.steps.supervised import SupervisedUNet
+
+    root = tempfile.mkdtemp(prefix="smsut-bench-")
+    make_synthetic_dataset(root, n_patients_per_modality=3, n_slice=8, size=256)
+    cfg = Config(base_root=root, device_augment=device_augment)
+    algo = SupervisedUNet(cfg)
+    state = algo.init_state(jax.random.PRNGKey(0))
+
+    rng = random.Random(0)
+    loader = get_loader(root, "train", 0, cfg.batch_size, cfg.data_aug, cfg=cfg,
+                        rng=rng, raw=device_augment)
+    dev_aug = None
+    if device_augment:
+        from smsut_tpu.data.device_augment import DeviceAugment
+
+        dev_aug = DeviceAugment(cfg, rng)
+
+    def batches():
+        while True:
+            for b in loader:
+                yield b
+
+    it = batches()
+
+    def one(b):
+        if dev_aug is not None:
+            img, msk = dev_aug(b.img, b.msk)
+            return algo.train_step(state_holder[0], {"img": img, "msk": msk,
+                                                     "mdl": b.mdl}, {})
+        return algo.train_step(state_holder[0], {"img": b.img, "msk": b.msk,
+                                                 "mdl": b.mdl}, {})
+
+    state_holder = [state]
+    for _ in range(3):
+        state_holder[0], m = one(next(it))
+    jax.block_until_ready(m["loss"])
+    tic = time.perf_counter()
+    for _ in range(iters):
+        state_holder[0], m = one(next(it))
+    jax.block_until_ready(m["loss"])
+    return iters * cfg.batch_size / (time.perf_counter() - tic)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="unet")
@@ -170,7 +224,16 @@ def main():
     ap.add_argument("--skip-baseline", action="store_true")
     ap.add_argument("--pallas", action="store_true",
                     help="use the fused Pallas instance-norm kernel")
+    ap.add_argument("--pipeline", choices=("device", "host"), default=None,
+                    help="bench the full input pipeline instead of the bare step")
     args = ap.parse_args()
+
+    if args.pipeline:
+        v = bench_pipeline(args.pipeline == "device", args.iters)
+        print(json.dumps({
+            "metric": f"pipeline_{args.pipeline}_aug_slices_per_sec_per_chip",
+            "value": round(v, 2), "unit": "slices/s", "vs_baseline": 0.0}))
+        return
 
     tpu = bench_jax(args.model, args.iters, use_pallas=args.pallas)
     baseline = 0.0

@@ -106,6 +106,10 @@ class Config:
     prefetch_depth: int = 2
     # use the fused Pallas instance-norm kernel where available.
     use_pallas: bool = False
+    # run joint augmentation on-device as one fused warp (this host has a
+    # single CPU; the reference's host augmentation chain costs ~7ms/slice
+    # vs a ~0.6ms TPU step).  False selects the strict-parity host pipeline.
+    device_augment: bool = True
 
     def __post_init__(self):
         env_base = os.environ.get("SMSUT_DATA_ROOT")

@@ -105,24 +105,31 @@ class BatchLoader:
     """Sampler + augmentation + collation with threaded prefetch."""
 
     def __init__(self, dataset: SliceDataset, sampler, augment: Optional[JointAugment],
-                 num_workers: int = 6, prefetch_depth: int = 2):
+                 num_workers: int = 6, prefetch_depth: int = 2, raw: bool = False):
         self.dataset = dataset
         self.sampler = sampler
         self.augment = augment
+        self.raw = raw  # yield uint8 [B,H,W] pairs for on-device augmentation
         self.num_workers = max(1, num_workers)
         self.prefetch_depth = prefetch_depth
         self._pool = futures.ThreadPoolExecutor(max_workers=self.num_workers)
 
     def _make_sample(self, i: int) -> Tuple[np.ndarray, np.ndarray, int, str]:
         img, msk, mdl, name = self.dataset.get_raw(i)
+        if self.raw:
+            return img, msk, mdl, name
         if self.augment is not None:
             img, msk = self.augment(img, msk)
         return normalize_img(img), msk.astype(np.int32), mdl, name
 
     def _collate(self, idxs: Sequence[int]) -> Batch:
         parts = list(self._pool.map(self._make_sample, idxs))
-        img = np.stack([p[0] for p in parts])[..., None]
+        img = np.stack([p[0] for p in parts])
+        if not self.raw:
+            img = img[..., None]
         msk = np.stack([p[1] for p in parts])
+        if not self.raw:
+            msk = msk.astype(np.int32)
         mdl = np.asarray([p[2] for p in parts], np.int32)
         names = [p[3] for p in parts]
         return Batch(img, msk, mdl, names)
@@ -153,7 +160,7 @@ class BatchLoader:
 def get_loader(data_root: str, phase: str, fold: int, batch_size: int,
                data_aug: Optional[Dict] = None, load_in_ram: bool = True,
                cfg: Optional[Config] = None, loader_type: str = "inTurn",
-               rng: Optional[random.Random] = None) -> BatchLoader:
+               rng: Optional[random.Random] = None, raw: bool = False) -> BatchLoader:
     """Reference `inTurnLoader.get_loader` equivalent
     (`inTurnLoader.py:83-97`); ``loader_type='balance'`` selects the
     modality-balanced sampler (`balanceLoader.py:112-125`)."""
@@ -173,7 +180,8 @@ def get_loader(data_root: str, phase: str, fold: int, batch_size: int,
     else:
         augment = None
         sampler = InTurnTestBatchSampler(dataset.modal_sample_ids, batch_size)
-    return BatchLoader(dataset, sampler, augment, cfg.num_workers, cfg.prefetch_depth)
+    return BatchLoader(dataset, sampler, None if raw else augment,
+                       cfg.num_workers, cfg.prefetch_depth, raw=raw)
 
 
 def get_label_npys(data_root: str, phase: str,

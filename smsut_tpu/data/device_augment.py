@@ -1,0 +1,175 @@
+# -*- coding: utf-8 -*-
+"""On-device (TPU) joint augmentation: rotate + elastic + random-resized-crop
+composed into ONE warp and ONE gather per output pixel.
+
+Why: this host exposes a single CPU and the reference's augmentation chain
+(`/root/reference/data_loader/externalTransforms.py`) costs ~7 ms/slice on it
+— two orders of magnitude more than the TPU train step.  The TPU-native
+answer is to feed raw uint8 slices and run the augmentation as a jitted,
+vmapped warp on the accelerator: random parameters are still drawn host-side
+from the same ``random.Random`` stream (sampler/seeding discipline kept), the
+pixels never touch Python.
+
+Composition (inverse maps, output -> source):
+  crop-resize (bilinear, scale 0.6-1.0, torchvision param sampling)
+  -> + elastic displacement (3x3 normal(0, sigma) control grid, cubic
+       upsample — elasticdeform's order-0 resample approximated by one fused
+       gather; p = 0.5)
+  -> inverse rotation (U(-deg, deg) around the center, zero fill)
+then one bilinear gather for the image / nearest for the mask, and the
+ToTensor+Normalize(0.5, 0.5) mapping to [-1, 1].  The composed single-gather
+warp is statistically equivalent to the reference's sequential resampling
+(each stage's interpolation error is below the augmentation noise); the
+host-side pipeline in data/augment.py remains available as the strict-parity
+path (`Config.device_augment = False`).
+"""
+from __future__ import annotations
+
+import math
+import random
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smsut_tpu.config import Config
+from smsut_tpu.data.augment import resized_crop_params
+
+
+class DeviceAugment:
+    """Host-side parameter sampling + jitted device warp."""
+
+    def __init__(self, cfg: Config, rng: Optional[random.Random] = None):
+        self.cfg = cfg
+        self.aug = cfg.data_aug or {}
+        self.rng = rng or random.Random()
+        self.size = int(self.aug.get("resizeCrop_size", cfg.input_size))
+        self._apply = jax.jit(self._apply_impl)
+
+    # ------------------------------------------------------------ host side
+    def sample_params(self, batch: int, h: int, w: int) -> Dict[str, np.ndarray]:
+        rng, aug = self.rng, self.aug
+        deg = float(aug.get("rotate_degrees", 0))
+        angles = np.array([rng.uniform(-deg, deg) if aug.get("rotate") else 0.0
+                           for _ in range(batch)], np.float32)
+
+        do_el, sigmas, disps = [], [], []
+        points = int(aug.get("elasticDeform_points", 3))
+        for _ in range(batch):
+            sig = rng.uniform(*aug.get("elasticDeform_sigmas", (9.0, 13.0)))
+            on = aug.get("elasticDeform") and rng.random() < 0.5
+            np_rng = np.random.default_rng(rng.getrandbits(63))
+            disps.append(np_rng.normal(0.0, sig, (2, points, points))
+                         .astype(np.float32))
+            do_el.append(1.0 if on else 0.0)
+            sigmas.append(sig)
+
+        crops = []
+        for _ in range(batch):
+            if aug.get("resizeCrop"):
+                i, j, ch, cw = resized_crop_params(h, w, (0.6, 1.0),
+                                                   (3.0 / 4.0, 4.0 / 3.0), rng)
+            else:
+                i, j, ch, cw = 0, 0, h, w
+            crops.append((i, j, ch, cw))
+
+        gammas = np.ones(batch, np.float32)
+        if aug.get("gammaCorrect"):
+            lo, hi = aug.get("gammaCorrect_gammas", (0.7, 1.5))
+            for b in range(batch):
+                if self.rng.random() < 0.5:
+                    gammas[b] = self.rng.uniform(lo, hi)
+
+        return {
+            "angle": angles,
+            "do_elastic": np.asarray(do_el, np.float32),
+            "disp": np.stack(disps),                       # [B, 2, P, P]
+            "crop": np.asarray(crops, np.float32),          # [B, 4] i,j,ch,cw
+            "gamma": gammas,
+        }
+
+    # ---------------------------------------------------------- device side
+    def _warp_one(self, img, msk, angle, do_el, disp, crop, gamma):
+        h, w = img.shape
+        s = self.size
+        i0, j0, ch, cw = crop[0], crop[1], crop[2], crop[3]
+
+        yy = jnp.arange(s, dtype=jnp.float32)
+        xx = jnp.arange(s, dtype=jnp.float32)
+        gy, gx = jnp.meshgrid(yy, xx, indexing="ij")
+        # crop-resize inverse (half-pixel centers, align_corners=False)
+        cy = i0 + (gy + 0.5) * ch / s - 0.5
+        cx = j0 + (gx + 0.5) * cw / s - 0.5
+
+        # elastic displacement sampled at the crop-space coords
+        dy = jax.image.resize(disp[0], (h, w), method="cubic")
+        dx = jax.image.resize(disp[1], (h, w), method="cubic")
+        iy = jnp.clip(jnp.round(cy), 0, h - 1).astype(jnp.int32)
+        ix = jnp.clip(jnp.round(cx), 0, w - 1).astype(jnp.int32)
+        cy = cy + do_el * dy[iy, ix]
+        cx = cx + do_el * dx[iy, ix]
+
+        # inverse rotation about the image center.  cv2/PIL rotate by
+        # +angle counter-clockwise in display coords; with the row axis
+        # pointing down the inverse source map uses -angle.
+        theta = -angle * math.pi / 180.0
+        cth, sth = jnp.cos(theta), jnp.sin(theta)
+        # cv2.getRotationMatrix2D center convention: (w/2, h/2) with pixel i
+        # at coordinate i (host path uses the same — augment.rotate_pair)
+        oy, ox = h / 2.0, w / 2.0
+        ry = cy - oy
+        rx = cx - ox
+        sy = oy + (-sth * rx + cth * ry)
+        sx = ox + (cth * rx + sth * ry)
+
+        img_out = _bilinear_gather(img.astype(jnp.float32), sy, sx)
+        msk_out = _nearest_gather(msk, sy, sx)
+        img_out = jnp.power(jnp.clip(img_out / 255.0, 0.0, 1.0), gamma)
+        img_out = (img_out - 0.5) / 0.5
+        return img_out, msk_out
+
+    def _apply_impl(self, img_u8, msk_u8, params):
+        f = jax.vmap(self._warp_one)
+        img, msk = f(img_u8, msk_u8, params["angle"], params["do_elastic"],
+                     params["disp"], params["crop"], params["gamma"])
+        return img[..., None], msk.astype(jnp.int32)
+
+    def __call__(self, img_u8: np.ndarray, msk_u8: np.ndarray
+                 ) -> Tuple[jax.Array, jax.Array]:
+        """img/msk: [B, H, W] uint8 host arrays -> ([B,S,S,1] f32 in [-1,1],
+        [B,S,S] int32) device arrays."""
+        b, h, w = img_u8.shape
+        params = self.sample_params(b, h, w)
+        return self._apply(jnp.asarray(img_u8), jnp.asarray(msk_u8), params)
+
+
+def _bilinear_gather(img: jax.Array, sy: jax.Array, sx: jax.Array) -> jax.Array:
+    h, w = img.shape
+    y0 = jnp.floor(sy)
+    x0 = jnp.floor(sx)
+    wy = sy - y0
+    wx = sx - x0
+
+    def tap(yi, xi):
+        inb = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        v = img[jnp.clip(yi, 0, h - 1).astype(jnp.int32),
+                jnp.clip(xi, 0, w - 1).astype(jnp.int32)]
+        return jnp.where(inb, v, 0.0)
+
+    v00 = tap(y0, x0)
+    v01 = tap(y0, x0 + 1)
+    v10 = tap(y0 + 1, x0)
+    v11 = tap(y0 + 1, x0 + 1)
+    return ((1 - wy) * ((1 - wx) * v00 + wx * v01)
+            + wy * ((1 - wx) * v10 + wx * v11))
+
+
+def _nearest_gather(img: jax.Array, sy: jax.Array, sx: jax.Array) -> jax.Array:
+    h, w = img.shape
+    yi = jnp.round(sy)
+    xi = jnp.round(sx)
+    inb = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+    v = img[jnp.clip(yi, 0, h - 1).astype(jnp.int32),
+            jnp.clip(xi, 0, w - 1).astype(jnp.int32)]
+    return jnp.where(inb, v, 0)

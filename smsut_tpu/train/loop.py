@@ -59,6 +59,7 @@ class Trainer:
         self.mesh = (make_mesh(cfg.data_parallel, batch_size=cfg.batch_size)
                      if use_mesh else None)
         self.epoch = 0
+        self.device_aug = None
         self.rng = jax.random.PRNGKey(cfg.seed)
         self.rng, init_rng = jax.random.split(self.rng)
         self.state = algo.init_state(init_rng)
@@ -90,10 +91,17 @@ class Trainer:
 
         data_rng = pyrandom.Random(cfg.seed)
         self._data_rng = data_rng
+        raw = bool(cfg.device_augment)
+        if raw:
+            from smsut_tpu.data.device_augment import DeviceAugment
+
+            self.device_aug = DeviceAugment(cfg, data_rng)
+        else:
+            self.device_aug = None
         lb_loader = get_loader(cfg.base_root, "train", self.fold, cfg.batch_size,
-                               cfg.data_aug, cfg=cfg, rng=data_rng)
+                               cfg.data_aug, cfg=cfg, rng=data_rng, raw=raw)
         ul_loader = get_loader(cfg.base_root, "val", self.fold, cfg.batch_size,
-                               cfg.data_aug, cfg=cfg, rng=data_rng)
+                               cfg.data_aug, cfg=cfg, rng=data_rng, raw=raw)
         test_loader = get_loader(cfg.base_root, "test", 0, cfg.batch_size, cfg=cfg)
 
         self.info(f"train labeled images: {len(lb_loader.dataset)}")
@@ -121,6 +129,8 @@ class Trainer:
                 fb2 = ul_itr.next()
                 img = np.concatenate([img, fb2.img])
                 mdl = np.concatenate([mdl, fb2.mdl])
+            if self.device_aug is not None:  # raw uint8 [B,H,W] batches
+                img = (img.astype(np.float32) / 255.0 - 0.5)[..., None] / 0.5
             self.algo.set_fixed_batch(jnp.asarray(img), jnp.asarray(mdl))
         max_epoch = (self.algo.max_epoch if hasattr(self.algo, "max_epoch")
                      else cfg.max_epoch)
@@ -184,11 +194,20 @@ class Trainer:
         n_iters = cfg.num_iter_per_epoch * getattr(self.algo, "n_critic", 1)
         for i in range(n_iters):
             lb = lb_itr.next()
-            batch = {"img": lb.img, "msk": lb.msk, "mdl": lb.mdl}
+            if self.device_aug is not None:
+                img, msk = self.device_aug(lb.img, lb.msk)
+                batch = {"img": img, "msk": msk, "mdl": jnp.asarray(lb.mdl)}
+            else:
+                batch = {"img": lb.img, "msk": lb.msk, "mdl": lb.mdl}
             if getattr(self.algo, "uses_unlabeled", False):
                 ul = ul_itr.next()
-                batch["ul_img"] = ul.img
-                batch["ul_mdl"] = ul.mdl
+                if self.device_aug is not None:
+                    ul_img, _ = self.device_aug(ul.img, ul.msk)
+                    batch["ul_img"] = ul_img
+                    batch["ul_mdl"] = jnp.asarray(ul.mdl)
+                else:
+                    batch["ul_img"] = ul.img
+                    batch["ul_mdl"] = ul.mdl
             if hasattr(self.algo, "make_extra_batch"):
                 batch.update(self.algo.make_extra_batch())
             m = int(lb.mdl[0])
@@ -196,7 +215,8 @@ class Trainer:
             scalars = dict(scalars_host)
             scalars.update(self.algo.iter_scalars(step_rng) if
                            hasattr(self.algo, "iter_scalars") else {})
-            batch = self._put(batch)
+            if self.device_aug is None:
+                batch = self._put(batch)
             self.state, metrics = self.algo.train_step(self.state, batch, scalars)
             pending.append((metrics, m, lb.batch_size))
             if log_step and (i + 1) % log_step == 0:

@@ -1,0 +1,78 @@
+# -*- coding: utf-8 -*-
+"""On-device fused augmentation tests."""
+import random
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from smsut_tpu.config import Config
+from smsut_tpu.data.device_augment import DeviceAugment
+
+
+def _cfg(size=32, **aug_over):
+    cfg = Config(input_size=size)
+    aug = dict(cfg.data_aug, resizeCrop_size=size, **aug_over)
+    return cfg.replace(data_aug=aug)
+
+
+def test_shapes_and_range(rng):
+    cfg = _cfg()
+    da = DeviceAugment(cfg, random.Random(0))
+    img = (rng.random((4, 32, 32)) * 255).astype(np.uint8)
+    msk = rng.integers(0, 5, (4, 32, 32)).astype(np.uint8)
+    di, dm = da(img, msk)
+    assert di.shape == (4, 32, 32, 1) and dm.shape == (4, 32, 32)
+    assert di.dtype == jnp.float32 and dm.dtype == jnp.int32
+    assert float(di.min()) >= -1.0 and float(di.max()) <= 1.0
+    assert set(np.unique(np.asarray(dm))) <= set(range(5))
+
+
+def test_identity_when_all_disabled(rng):
+    cfg = _cfg(rotate=False, elasticDeform=False, resizeCrop=False)
+    da = DeviceAugment(cfg, random.Random(0))
+    img = (rng.random((2, 32, 32)) * 255).astype(np.uint8)
+    msk = rng.integers(0, 5, (2, 32, 32)).astype(np.uint8)
+    di, dm = da(img, msk)
+    want = (img.astype(np.float32) / 255.0 - 0.5) / 0.5
+    np.testing.assert_allclose(np.asarray(di[..., 0]), want, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(dm), msk)
+
+
+def test_rotation_only_matches_host_rotate(rng):
+    """Pure rotation through the device warp vs the cv2 host rotation."""
+    from smsut_tpu.data.augment import rotate_pair
+
+    cfg = _cfg(rotate=True, elasticDeform=False, resizeCrop=False)
+    da = DeviceAugment(cfg, random.Random(3))
+    img = (rng.random((1, 32, 32)) * 255).astype(np.uint8)
+    msk = rng.integers(0, 5, (1, 32, 32)).astype(np.uint8)
+    params = da.sample_params(1, 32, 32)
+    angle = float(params["angle"][0])
+    di, dm = da._apply(jnp.asarray(img), jnp.asarray(msk), params)
+
+    h_img, h_msk = rotate_pair(img[0], msk[0], angle)
+    got = (np.asarray(di[0, ..., 0]) * 0.5 + 0.5) * 255.0
+    want = h_img.astype(np.float32)
+    # interiors match to interpolation/rounding tolerance
+    diff = np.abs(got[4:-4, 4:-4] - want[4:-4, 4:-4])
+    assert np.median(diff) < 4.0
+    agree = (np.asarray(dm[0]) == h_msk).mean()
+    assert agree > 0.9
+
+
+def test_elastic_applied_with_p_half():
+    cfg = _cfg(rotate=False, resizeCrop=False)
+    da = DeviceAugment(cfg, random.Random(1))
+    flags = [da.sample_params(1, 32, 32)["do_elastic"][0] for _ in range(60)]
+    assert 10 < sum(flags) < 50  # roughly half on
+
+
+def test_deterministic_given_seed(rng):
+    img = (rng.random((2, 32, 32)) * 255).astype(np.uint8)
+    msk = rng.integers(0, 5, (2, 32, 32)).astype(np.uint8)
+    a = DeviceAugment(_cfg(), random.Random(7))(img, msk)
+    b = DeviceAugment(_cfg(), random.Random(7))(img, msk)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
