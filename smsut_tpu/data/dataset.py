@@ -55,8 +55,11 @@ def _imread_gray(path: str) -> np.ndarray:
 
 
 class SliceDataset:
-    """Flat list of (img, msk, modality_id, name) slices from the split yaml,
-    with optional load-in-RAM (uint8 arrays, not PIL handles)."""
+    """Flat list of (img, msk, modality_id, name) slices from the split yaml.
+
+    RAM mode is backed by the native C++ slice cache (native/slicecache.cpp:
+    one contiguous buffer per image/label set, PNG decoded once, batch
+    gathers via memcpy) with a cv2 fallback when the library is absent."""
 
     def __init__(self, data_root: str, phase: str, fold: int = 0,
                  load_in_ram: bool = True, split_yaml: str = "semi-1910.yaml"):
@@ -66,6 +69,7 @@ class SliceDataset:
         self.load_in_ram = load_in_ram
         self.samples: List[Tuple] = []
         self.modal_sample_ids: List[List[int]] = [[] for _ in MODALITIES]
+        img_paths, msk_paths = [], []
         split = read_yaml(pjoin(data_root, split_yaml))
         n = 0
         for m in MODALITIES:
@@ -77,24 +81,49 @@ class SliceDataset:
                 for png in sorted(os.listdir(pid_root)):
                     img_p = pjoin(pid_root, png)
                     msk_p = img_p.replace("images", "labels")
-                    if load_in_ram:
-                        img_p = _imread_gray(img_p)
-                        msk_p = _imread_gray(msk_p)
+                    img_paths.append(img_p)
+                    msk_paths.append(msk_p)
                     self.samples.append((img_p, msk_p, Modality[m].value,
                                          png.replace(".png", "")))
                     self.modal_sample_ids[Modality[m].value].append(n)
                     n += 1
         self.n = n
 
+        self._img_cache = self._msk_cache = None
+        self._ram: List[Tuple[np.ndarray, np.ndarray]] = []
+        if load_in_ram and n:
+            try:
+                from smsut_tpu.data.native_cache import SliceCache, available
+
+                if available():
+                    self._img_cache = SliceCache(img_paths)
+                    self._msk_cache = SliceCache(msk_paths)
+            except Exception:
+                self._img_cache = self._msk_cache = None
+            if self._img_cache is None:
+                self._ram = [(_imread_gray(i), _imread_gray(s))
+                             for i, s in zip(img_paths, msk_paths)]
+
     def __len__(self) -> int:
         return self.n
 
     def get_raw(self, i: int) -> Tuple[np.ndarray, np.ndarray, int, str]:
-        img, msk, mdl, name = self.samples[i]
-        if not self.load_in_ram:
-            img = _imread_gray(img)
-            msk = _imread_gray(msk)
-        return img, msk, mdl, name
+        _, _, mdl, name = self.samples[i]
+        if self._img_cache is not None:
+            return (self._img_cache.gather_u8([i])[0],
+                    self._msk_cache.gather_u8([i])[0], mdl, name)
+        if self.load_in_ram and self._ram:
+            img, msk = self._ram[i]
+            return img, msk, mdl, name
+        img_p, msk_p, _, _ = self.samples[i]
+        return _imread_gray(img_p), _imread_gray(msk_p), mdl, name
+
+    def gather_batch_u8(self, idxs: Sequence[int]):
+        """Native fast path: packed uint8 [B,H,W] image+mask blocks."""
+        if self._img_cache is None:
+            return None
+        return (self._img_cache.gather_u8(list(idxs)),
+                self._msk_cache.gather_u8(list(idxs)))
 
     def __repr__(self) -> str:
         return (f"{self.__class__.__name__}(samples={self.n}, "
@@ -123,6 +152,14 @@ class BatchLoader:
         return normalize_img(img), msk.astype(np.int32), mdl, name
 
     def _collate(self, idxs: Sequence[int]) -> Batch:
+        if self.raw:
+            fast = self.dataset.gather_batch_u8(idxs)
+            if fast is not None:
+                img, msk = fast
+                mdl = np.asarray([self.dataset.samples[i][2] for i in idxs],
+                                 np.int32)
+                names = [self.dataset.samples[i][3] for i in idxs]
+                return Batch(img, msk, mdl, names)
         parts = list(self._pool.map(self._make_sample, idxs))
         img = np.stack([p[0] for p in parts])
         if not self.raw:
