@@ -149,7 +149,7 @@ class Trainer:
             self.info("")
             self.info(f"lr: {lr}.")
             self.info("[TRN] Epoch: %d(%d)/%d, elapsed: %.2fs," %
-                      (epoch, best_epoch, cfg.max_epoch, time.time() - tic)
+                      (epoch, best_epoch, max_epoch, time.time() - tic)
                       + str(train_meter))
             self._write_scalars("train", train_meter, epoch)
             self.exp.scalar("train/lr", lr, epoch)
@@ -162,7 +162,7 @@ class Trainer:
             test_meter.accumulate(v, {k: 1.0 for k in v.keys()})
             test_meter.update_cur()
             self.info("[TST] Epoch: %d/%d, elapsed: %.2fs," %
-                      (epoch, cfg.max_epoch, time.time() - tic) + str(test_meter))
+                      (epoch, max_epoch, time.time() - tic) + str(test_meter))
             self._write_scalars("test", test_meter, epoch)
             tic = time.time()
 
