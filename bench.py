@@ -55,8 +55,7 @@ def bench_jax(model: str, iters: int = 30, warmup: int = 3,
         mdl = jnp.zeros((cfg.batch_size,), jnp.int32)
         batch = {"img": img, "msk": msk, "mdl": mdl,
                  "ul_img": img, "ul_mdl": mdl}
-        scalars = dict(algo.epoch_scalars(1),
-                       **algo.iter_scalars(jax.random.PRNGKey(1)))
+        scalars = dict(algo.epoch_scalars(1), rng=jax.random.PRNGKey(1))
 
         def step(state):
             return algo.train_step(state, batch, scalars)
@@ -198,13 +197,21 @@ def bench_pipeline(device_augment: bool, iters: int = 30) -> float:
 
     it = batches()
 
+    fused = None
+    if dev_aug is not None:
+        from smsut_tpu.train.loop import make_fused_step
+
+        fused = make_fused_step(algo, dev_aug)
+    key = np.zeros(2, np.uint32)
+
     def one(b):
-        if dev_aug is not None:
-            img, msk = dev_aug(b.img, b.msk)
-            return algo.train_step(state_holder[0], {"img": img, "msk": msk,
-                                                     "mdl": b.mdl}, {})
+        if fused is not None:
+            h, w = b.img.shape[1:3]
+            params = dev_aug.sample_params(b.img.shape[0], h, w)
+            return fused(state_holder[0], b.img, b.msk, b.mdl, params, {},
+                         {"rng": key})
         return algo.train_step(state_holder[0], {"img": b.img, "msk": b.msk,
-                                                 "mdl": b.mdl}, {})
+                                                 "mdl": b.mdl}, {"rng": key})
 
     state_holder = [state]
     for _ in range(3):

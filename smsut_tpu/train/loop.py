@@ -43,6 +43,29 @@ class _Cycler:
             return next(self.itr)
 
 
+def make_fused_step(algo, device_aug):
+    """Augment + train step as ONE jitted dispatch (the host has a single
+    CPU; per-iteration Python is the throughput ceiling)."""
+    uses_ul = getattr(algo, "uses_unlabeled", False)
+
+    if uses_ul:
+        def fused(state, li, lm, lmdl, lp, ui, um, umdl, up, extra, scalars):
+            img, msk = device_aug._apply_impl(li, lm, lp)
+            uimg, _ = device_aug._apply_impl(ui, um, up)
+            batch = {"img": img, "msk": msk, "mdl": lmdl,
+                     "ul_img": uimg, "ul_mdl": umdl}
+            batch.update(extra)
+            return algo._train_step_impl(state, batch, scalars)
+    else:
+        def fused(state, li, lm, lmdl, lp, extra, scalars):
+            img, msk = device_aug._apply_impl(li, lm, lp)
+            batch = {"img": img, "msk": msk, "mdl": lmdl}
+            batch.update(extra)
+            return algo._train_step_impl(state, batch, scalars)
+
+    return jax.jit(fused, donate_argnums=(0,))
+
+
 class Trainer:
     def __init__(self, algo, cfg: Config, phase: str, args=None,
                  experiment: Optional[Experiment] = None, use_mesh: bool = True):
@@ -60,6 +83,7 @@ class Trainer:
                      if use_mesh else None)
         self.epoch = 0
         self.device_aug = None
+        self._fused_step = None
         self.rng = jax.random.PRNGKey(cfg.seed)
         self.rng, init_rng = jax.random.split(self.rng)
         self.state = algo.init_state(init_rng)
@@ -192,32 +216,41 @@ class Trainer:
         log_step = getattr(self.algo, "log_step", 0)
         tic = time.time()
         n_iters = cfg.num_iter_per_epoch * getattr(self.algo, "n_critic", 1)
+        uses_ul = getattr(self.algo, "uses_unlabeled", False)
+        # one PRNG split for the whole epoch: avoids a per-iteration dispatch
+        keys = np.asarray(jax.random.split(self.rng, n_iters + 1))
+        self.rng = jnp.asarray(keys[0])
+        if self.device_aug is not None and self._fused_step is None:
+            self._fused_step = make_fused_step(self.algo, self.device_aug)
+
         for i in range(n_iters):
             lb = lb_itr.next()
+            m = int(lb.mdl[0])
+            scalars = dict(scalars_host)
+            scalars["rng"] = keys[i + 1]
+            extra = (self.algo.make_extra_batch()
+                     if hasattr(self.algo, "make_extra_batch") else {})
+
             if self.device_aug is not None:
-                img, msk = self.device_aug(lb.img, lb.msk)
-                batch = {"img": img, "msk": msk, "mdl": jnp.asarray(lb.mdl)}
+                h, w = lb.img.shape[1:3]
+                args = [lb.img, lb.msk, lb.mdl,
+                        self.device_aug.sample_params(lb.batch_size, h, w)]
+                if uses_ul:
+                    ul = ul_itr.next()
+                    args += [ul.img, ul.msk, ul.mdl,
+                             self.device_aug.sample_params(ul.batch_size, h, w)]
+                self.state, metrics = self._fused_step(self.state, *args,
+                                                       extra, scalars)
             else:
                 batch = {"img": lb.img, "msk": lb.msk, "mdl": lb.mdl}
-            if getattr(self.algo, "uses_unlabeled", False):
-                ul = ul_itr.next()
-                if self.device_aug is not None:
-                    ul_img, _ = self.device_aug(ul.img, ul.msk)
-                    batch["ul_img"] = ul_img
-                    batch["ul_mdl"] = jnp.asarray(ul.mdl)
-                else:
+                if uses_ul:
+                    ul = ul_itr.next()
                     batch["ul_img"] = ul.img
                     batch["ul_mdl"] = ul.mdl
-            if hasattr(self.algo, "make_extra_batch"):
-                batch.update(self.algo.make_extra_batch())
-            m = int(lb.mdl[0])
-            self.rng, step_rng = jax.random.split(self.rng)
-            scalars = dict(scalars_host)
-            scalars.update(self.algo.iter_scalars(step_rng) if
-                           hasattr(self.algo, "iter_scalars") else {})
-            if self.device_aug is None:
+                batch.update(extra)
                 batch = self._put(batch)
-            self.state, metrics = self.algo.train_step(self.state, batch, scalars)
+                self.state, metrics = self.algo.train_step(self.state, batch,
+                                                           scalars)
             pending.append((metrics, m, lb.batch_size))
             if log_step and (i + 1) % log_step == 0:
                 last = {k: float(v) for k, v in pending[-1][0].items()}

@@ -254,6 +254,12 @@ class CoraNet:
             return self._pre_step(state, batch, scalars)
         return self._cora_step(state, batch, scalars)
 
+    def _train_step_impl(self, state, batch, scalars):
+        """Unjitted step body (used by the Trainer's fused augment+step)."""
+        if self.stage == "pre":
+            return self._pre_step_impl(state, batch, scalars)
+        return self._cora_step_impl(state, batch, scalars)
+
     def eval_fn(self, params, img):
         out = self.net.apply({"params": params}, img)
         h0, _, _ = split_heads(out, self.cfg.n_label)

@@ -129,9 +129,10 @@ class UGANBase:
             mdl = jnp.concatenate([mdl, batch["ul_mdl"]], axis=0)
         n = x_real.shape[0]
 
-        rng = scalars["rng"]
-        r_alpha, r_patch = jax.random.split(rng)
-        mj = scalars["mj"]               # int32 scalar target modality
+        r_mj, r_alpha, r_patch = jax.random.split(scalars["rng"], 3)
+        # random target modality per iteration (`uganTrainer.py:145-146`),
+        # drawn in-graph to keep the step a single host dispatch
+        mj = jax.random.randint(r_mj, (), 0, cfg.n_modal, jnp.int32)
         modal_trg = jnp.full((n,), mj, jnp.int32)
         vec_org = label2onehot(mdl, cfg.n_modal)
         vec_trg = label2onehot(modal_trg, cfg.n_modal)
@@ -247,11 +248,6 @@ class UGANBase:
             lam = self.lambda_semi * sigmoid_rampup(epoch, self.cfg.max_epoch)
             out["lambda_semi"] = jnp.float32(lam)
         return out
-
-    def iter_scalars(self, rng: jax.Array) -> Dict[str, jax.Array]:
-        r_mj, r_step = jax.random.split(rng)
-        mj = jax.random.randint(r_mj, (), 0, self.cfg.n_modal, jnp.int32)
-        return {"rng": r_step, "mj": mj}
 
     # ------------------------------------------------------ sample grids
     def on_epoch_end(self, trainer, epoch: int) -> None:

@@ -100,6 +100,3 @@ class M3L:
     def epoch_scalars(self, epoch: int) -> Dict[str, jax.Array]:
         lam = self.lambda_semi * sigmoid_rampup(epoch, self.epoch_rampup)
         return {"lambda_semi": jnp.float32(lam)}
-
-    def iter_scalars(self, rng: jax.Array) -> Dict[str, jax.Array]:
-        return {"rng": rng}

@@ -67,8 +67,7 @@ def test_m3l_step(rng):
         "ul_img": jnp.asarray(rng.normal(size=(2, 32, 32, 1)).astype(np.float32)),
         "ul_mdl": jnp.zeros((2,), jnp.int32),
     }
-    scalars = dict(algo.epoch_scalars(0),
-                   **algo.iter_scalars(jax.random.PRNGKey(2)))
+    scalars = dict(algo.epoch_scalars(0), rng=jax.random.PRNGKey(2))
     state, m = algo.train_step(state, batch, scalars)
     assert np.isfinite(float(m["loss"]))
     assert np.isfinite(float(m["semi_loss"]))

@@ -50,7 +50,7 @@ def test_mean_teacher_ema_gate(rng):
     algo = MeanTeacher(CFG)
     state = algo.init_state(jax.random.PRNGKey(0))
     batch = _batch(rng, with_ul=True)
-    scalars = dict(algo.epoch_scalars(0), **algo.iter_scalars(jax.random.PRNGKey(1)))
+    scalars = dict(algo.epoch_scalars(0), rng=jax.random.PRNGKey(1))
     p0 = jax.tree_util.tree_leaves(state.params)[0].copy()
     state, m = algo.train_step(state, batch, scalars)
     # iter 0: alpha == 0 -> teacher snaps to student
@@ -98,8 +98,7 @@ def test_gan_steps(rng, algo_cls, with_ul):
     algo = algo_cls(CFG)
     state = algo.init_state(jax.random.PRNGKey(0))
     batch = _batch(rng, with_ul=with_ul)
-    scalars = dict(algo.epoch_scalars(1),
-                   **algo.iter_scalars(jax.random.PRNGKey(3)))
+    scalars = dict(algo.epoch_scalars(1), rng=jax.random.PRNGKey(3))
     g0 = jax.tree_util.tree_leaves(state.g_params)[0].copy()
     d0 = jax.tree_util.tree_leaves(state.d_params)[0].copy()
     state, m = algo.train_step(state, batch, scalars)
