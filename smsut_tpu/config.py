@@ -110,6 +110,8 @@ class Config:
     # single CPU; the reference's host augmentation chain costs ~7ms/slice
     # vs a ~0.6ms TPU step).  False selects the strict-parity host pipeline.
     device_augment: bool = True
+    # write a jax.profiler trace of one training epoch to this directory.
+    profile_dir: str = ""
 
     def __post_init__(self):
         env_base = os.environ.get("SMSUT_DATA_ROOT")

@@ -99,6 +99,25 @@ def gamma_correct(img: np.ndarray, gamma: float) -> np.ndarray:
     return np.clip(np.power(x, gamma) * 255.0 + 0.5, 0, 255).astype(np.uint8)
 
 
+def color_jitter(img: np.ndarray, brightness: float, contrast: float,
+                 rng: random.Random) -> np.ndarray:
+    """torchvision ColorJitter for grayscale: brightness/contrast factors
+    drawn from U(max(0, 1-x), 1+x); saturation/hue are no-ops on L images
+    (`baseLoader.py:104` with brightness=contrast=0.4)."""
+    ops = []
+    if brightness > 0:
+        b = rng.uniform(max(0.0, 1 - brightness), 1 + brightness)
+        ops.append(lambda x: x * b)
+    if contrast > 0:
+        c = rng.uniform(max(0.0, 1 - contrast), 1 + contrast)
+        ops.append(lambda x: (x - x.mean()) * c + x.mean())
+    rng.shuffle(ops)
+    x = img.astype(np.float32)
+    for op in ops:
+        x = op(x)
+    return np.clip(x + 0.5, 0, 255).astype(np.uint8)
+
+
 class JointAugment:
     """Composed train-time augmentation pipeline (`baseLoader.parse_aug`,
     `baseLoader.py:87-112`): rotate -> elastic -> resizedCrop on the joint
@@ -126,6 +145,8 @@ class JointAugment:
             i, j, ch, cw = resized_crop_params(img.shape[0], img.shape[1],
                                                (0.6, 1.0), (3.0 / 4.0, 4.0 / 3.0), rng)
             img, msk = resized_crop_pair(img, msk, i, j, ch, cw, size)
+        if cfg.get("colorJitter"):
+            img = color_jitter(img, 0.4, 0.4, rng)
         if cfg.get("gammaCorrect"):
             gamma = rng.uniform(*cfg["gammaCorrect_gammas"])
             if rng.random() < 0.5:

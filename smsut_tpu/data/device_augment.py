@@ -81,16 +81,26 @@ class DeviceAugment:
                 if self.rng.random() < 0.5:
                     gammas[b] = self.rng.uniform(lo, hi)
 
+        bright = np.ones(batch, np.float32)
+        contrast = np.ones(batch, np.float32)
+        if aug.get("colorJitter"):
+            for b in range(batch):
+                bright[b] = rng.uniform(0.6, 1.4)
+                contrast[b] = rng.uniform(0.6, 1.4)
+
         return {
             "angle": angles,
             "do_elastic": np.asarray(do_el, np.float32),
             "disp": np.stack(disps),                       # [B, 2, P, P]
             "crop": np.asarray(crops, np.float32),          # [B, 4] i,j,ch,cw
             "gamma": gammas,
+            "bright": bright,
+            "contrast": contrast,
         }
 
     # ---------------------------------------------------------- device side
-    def _warp_one(self, img, msk, angle, do_el, disp, crop, gamma):
+    def _warp_one(self, img, msk, angle, do_el, disp, crop, gamma, bright,
+                  contrast):
         h, w = img.shape
         s = self.size
         i0, j0, ch, cw = crop[0], crop[1], crop[2], crop[3]
@@ -125,6 +135,8 @@ class DeviceAugment:
 
         img_out = _bilinear_gather(img.astype(jnp.float32), sy, sx)
         msk_out = _nearest_gather(msk, sy, sx)
+        img_out = img_out * bright
+        img_out = (img_out - jnp.mean(img_out)) * contrast + jnp.mean(img_out)
         img_out = jnp.power(jnp.clip(img_out / 255.0, 0.0, 1.0), gamma)
         img_out = (img_out - 0.5) / 0.5
         return img_out, msk_out
@@ -132,7 +144,8 @@ class DeviceAugment:
     def _apply_impl(self, img_u8, msk_u8, params):
         f = jax.vmap(self._warp_one)
         img, msk = f(img_u8, msk_u8, params["angle"], params["do_elastic"],
-                     params["disp"], params["crop"], params["gamma"])
+                     params["disp"], params["crop"], params["gamma"],
+                     params["bright"], params["contrast"])
         return img[..., None], msk.astype(jnp.int32)
 
     def __call__(self, img_u8: np.ndarray, msk_u8: np.ndarray

@@ -164,7 +164,12 @@ class Trainer:
             if hasattr(self.algo, "on_epoch_start"):
                 self.algo.on_epoch_start(self, epoch)
             train_meter.reset_cur()
-            self.train_epoch(lb_itr, ul_itr, train_meter)
+            if cfg.profile_dir and epoch == 1:
+                # profile the second epoch (first is compile-dominated)
+                with jax.profiler.trace(cfg.profile_dir):
+                    self.train_epoch(lb_itr, ul_itr, train_meter)
+            else:
+                self.train_epoch(lb_itr, ul_itr, train_meter)
             self.epoch += 1
             train_meter.update_cur()
 
@@ -260,9 +265,16 @@ class Trainer:
                 for k, v in last.items():
                     msg += " %s: %.4f," % (k, v)
                 self.info(msg)
-        # drain metrics once per epoch (single host sync)
-        for metrics, m, n in pending:
+        # drain metrics once per epoch (single host sync); non-finite losses
+        # abort with context (failure detection — the reference would train
+        # silently through NaNs)
+        for it, (metrics, m, n) in enumerate(pending):
             loss = float(metrics["loss"])
+            if not np.isfinite(loss):
+                diag = {k: float(v) for k, v in metrics.items()
+                        if np.ndim(v) == 0}
+                raise FloatingPointError(
+                    f"non-finite loss at epoch {self.epoch} iter {it}: {diag}")
             v, cnt = Meter.collect_loss_by(loss, m, n)
             meter.accumulate(v, cnt)
 
