@@ -40,6 +40,11 @@ def make_parser() -> argparse.ArgumentParser:
     parser.add_argument("--set", dest="overrides", action="append", default=[],
                         metavar="KEY=VALUE",
                         help="override any Config field, e.g. --set max_epoch=2")
+    parser.add_argument("--resume", type=str, default=None, metavar="IDX[:TAG]",
+                        help="resume training from a saved full state, e.g. "
+                             "--resume 000 or --resume 000:last (the reference "
+                             "cannot resume; our checkpoints carry optimizer+"
+                             "step+EMA)")
     return parser
 
 
@@ -83,6 +88,10 @@ def run_main(algo_factory, args=None) -> None:
     algo = algo_factory(cfg)
     trainer = Trainer(algo, cfg, args.phase, args)
     if args.phase == "train":
+        if getattr(args, "resume", None):
+            idx, _, tag = args.resume.partition(":")
+            trainer.load_model(idx, tag or "last")
+            trainer.epoch = int(trainer.state.step) // cfg.num_iter_per_epoch
         trainer.fit("inTurn")
     elif args.phase == "test":
         trainer.load_model(args.model_id, args.which_ckpt)

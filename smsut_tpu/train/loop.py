@@ -160,7 +160,9 @@ class Trainer:
                      else cfg.max_epoch)
         best_prefix = getattr(self.algo, "best_prefix", "best")
         last_prefix = getattr(self.algo, "last_prefix", "last")
-        for epoch in range(max_epoch):
+        if self.epoch:
+            self.info(f"Resuming at epoch {self.epoch} (step {int(self.state.step)}).")
+        for epoch in range(self.epoch, max_epoch):
             if hasattr(self.algo, "on_epoch_start"):
                 self.algo.on_epoch_start(self, epoch)
             train_meter.reset_cur()
