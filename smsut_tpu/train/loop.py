@@ -122,10 +122,14 @@ class Trainer:
             self.device_aug = DeviceAugment(cfg, data_rng)
         else:
             self.device_aug = None
+        if loader_type not in ("inTurn", "balance"):
+            raise NotImplementedError(loader_type)
         lb_loader = get_loader(cfg.base_root, "train", self.fold, cfg.batch_size,
-                               cfg.data_aug, cfg=cfg, rng=data_rng, raw=raw)
+                               cfg.data_aug, cfg=cfg, rng=data_rng, raw=raw,
+                               loader_type=loader_type)
         ul_loader = get_loader(cfg.base_root, "val", self.fold, cfg.batch_size,
-                               cfg.data_aug, cfg=cfg, rng=data_rng, raw=raw)
+                               cfg.data_aug, cfg=cfg, rng=data_rng, raw=raw,
+                               loader_type=loader_type)
         test_loader = get_loader(cfg.base_root, "test", 0, cfg.batch_size, cfg=cfg)
 
         self.info(f"train labeled images: {len(lb_loader.dataset)}")
@@ -279,6 +283,9 @@ class Trainer:
                     f"non-finite loss at epoch {self.epoch} iter {it}: {diag}")
             v, cnt = Meter.collect_loss_by(loss, m, n)
             meter.accumulate(v, cnt)
+            if "loss2" in metrics:  # cross-pseudo meters both nets
+                v, cnt = Meter.collect_loss_by(float(metrics["loss2"]), m, n)
+                meter.accumulate(v, cnt)
 
     # ------------------------------------------------------------ validation
     def validate_epoch(self, loader: BatchLoader, npys: Dict[str, np.ndarray],
