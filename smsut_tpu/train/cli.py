@@ -120,6 +120,10 @@ def saving_pseudo(trainer, expr_root: str) -> None:
     loader = get_loader(cfg.base_root, "test", 0, cfg.batch_size, cfg=cfg)
     trainer.info(f"Predict and save in {pred_root}.")
     params = trainer.algo.eval_params(trainer.state)
+    # GAN algorithms additionally dump a per-slice translation strip
+    # (original | ->ct | ->t1in | ->t1out | ->t2), like the reference's
+    # selected-volume fk dumps (`uganConsisTrainer.py:248-303`)
+    translate = getattr(trainer.algo, "_translate", None)
     count = 0
     for batch in loader:
         b = batch.batch_size
@@ -130,6 +134,20 @@ def saving_pseudo(trainer, expr_root: str) -> None:
             msk = np.concatenate([msk, np.zeros((pad,) + msk.shape[1:], msk.dtype)])
         _, pred = trainer._eval_step(params, img, msk)
         pred = np.asarray(pred)[:b]
+        strips = None
+        if translate is not None:
+            import jax.numpy as jnp
+            import jax as _jax
+
+            vec_org = _jax.nn.one_hot(np.asarray(batch.mdl[0]).repeat(
+                img.shape[0]), cfg.n_modal)
+            cols = [img]
+            for target in range(cfg.n_modal):
+                vec_trg = jnp.tile(_jax.nn.one_hot(target, cfg.n_modal),
+                                   (img.shape[0], 1))
+                _, tsl = translate(params, jnp.asarray(img), vec_trg - vec_org)
+                cols.append(np.asarray(tsl))
+            strips = np.clip((np.concatenate(cols, axis=2) + 1) / 2, 0, 1)
         count += b
         for i in range(b):
             p = colorize(pred[i])
@@ -141,4 +159,7 @@ def saving_pseudo(trainer, expr_root: str) -> None:
                 pjoin(pred_root, batch.names[i] + "gt.jpg"))
             Image.fromarray(a.astype(np.uint8)).convert("RGB").save(
                 pjoin(pred_root, batch.names[i] + "ori.jpg"))
+            if strips is not None:
+                Image.fromarray((strips[i, ..., 0] * 255).astype(np.uint8)).save(
+                    pjoin(pred_root, batch.names[i] + "fk.jpg"))
     print(count)
