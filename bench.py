@@ -20,6 +20,59 @@ import time
 import numpy as np
 
 
+def bench_jax_scan(model: str, iters: int = 50, use_pallas: bool = False) -> float:
+    """Device-only throughput: `iters` train steps chained with lax.scan in a
+    single jit — immune to host dispatch noise (this box has 1 CPU shared
+    with everything else)."""
+    import jax
+    import jax.numpy as jnp
+
+    from smsut_tpu.config import Config
+
+    cfg = Config(use_pallas=use_pallas)
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.normal(size=(cfg.batch_size, cfg.input_size,
+                                       cfg.input_size, 1)).astype(np.float32))
+    msk = jnp.asarray(rng.integers(0, cfg.n_class,
+                                   size=(cfg.batch_size, cfg.input_size,
+                                         cfg.input_size)).astype(np.int32))
+    mdl = jnp.zeros((cfg.batch_size,), jnp.int32)
+
+    if model == "unet":
+        from smsut_tpu.train.steps.supervised import SupervisedUNet
+
+        algo = SupervisedUNet(cfg)
+        batch = {"img": img, "msk": msk}
+        scalars = {}
+    elif model == "uganConsis":
+        from smsut_tpu.train.steps.gan import UGANConsisAlgo
+
+        algo = UGANConsisAlgo(cfg)
+        batch = {"img": img, "msk": msk, "mdl": mdl,
+                 "ul_img": img, "ul_mdl": mdl}
+        scalars = dict(algo.epoch_scalars(1), rng=jax.random.PRNGKey(1))
+    else:
+        raise SystemExit(f"unknown model {model}")
+
+    state = algo.init_state(jax.random.PRNGKey(0))
+
+    @jax.jit
+    def run(state):
+        def body(s, _):
+            s2, m = algo._train_step_impl(s, batch, scalars)
+            return s2, m["loss"]
+
+        return jax.lax.scan(body, state, None, length=iters)
+
+    state, losses = run(state)          # compile + warm
+    jax.block_until_ready(losses)
+    tic = time.perf_counter()
+    state, losses = run(state)
+    jax.block_until_ready(losses)
+    dt = time.perf_counter() - tic
+    return iters * cfg.batch_size / dt
+
+
 def bench_jax(model: str, iters: int = 30, warmup: int = 3,
               use_pallas: bool = False) -> float:
     import jax
@@ -233,7 +286,16 @@ def main():
                     help="use the fused Pallas instance-norm kernel")
     ap.add_argument("--pipeline", choices=("device", "host"), default=None,
                     help="bench the full input pipeline instead of the bare step")
+    ap.add_argument("--scan", action="store_true",
+                    help="chain steps with lax.scan (device-only throughput)")
     args = ap.parse_args()
+
+    if args.scan:
+        v = bench_jax_scan(args.model, args.iters, args.pallas)
+        print(json.dumps({
+            "metric": f"{args.model}_train_slices_per_sec_per_chip_scan",
+            "value": round(v, 2), "unit": "slices/s", "vs_baseline": 0.0}))
+        return
 
     if args.pipeline:
         v = bench_pipeline(args.pipeline == "device", args.iters)

@@ -141,6 +141,10 @@ class BatchLoader:
         self.raw = raw  # yield uint8 [B,H,W] pairs for on-device augmentation
         self.num_workers = max(1, num_workers)
         self.prefetch_depth = prefetch_depth
+        # optional producer-thread hook: Batch -> item yielded by __iter__
+        # (the Trainer attaches device-augment parameter sampling here so the
+        # main thread only dispatches)
+        self.post = None
         self._pool = futures.ThreadPoolExecutor(max_workers=self.num_workers)
 
     def _make_sample(self, i: int) -> Tuple[np.ndarray, np.ndarray, int, str]:
@@ -178,7 +182,10 @@ class BatchLoader:
         def producer():
             try:
                 for idxs in self.sampler:
-                    q.put(self._collate(idxs))
+                    item = self._collate(idxs)
+                    if self.post is not None:
+                        item = self.post(item)
+                    q.put(item)
             finally:
                 q.put(stop)
 

@@ -88,6 +88,7 @@ def run_main(algo_factory, args=None) -> None:
     algo = algo_factory(cfg)
     trainer = Trainer(algo, cfg, args.phase, args)
     if args.phase == "train":
+        trainer.exp.register_experiment_args(args)  # expriments.log registry
         if getattr(args, "resume", None):
             idx, _, tag = args.resume.partition(":")
             trainer.load_model(idx, tag or "last")

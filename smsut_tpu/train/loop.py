@@ -131,6 +131,24 @@ class Trainer:
                                cfg.data_aug, cfg=cfg, rng=data_rng, raw=raw,
                                loader_type=loader_type)
         test_loader = get_loader(cfg.base_root, "test", 0, cfg.batch_size, cfg=cfg)
+        if raw:
+            # sample augment params in the producer threads so the training
+            # thread only dispatches; independent RNG streams per loader keep
+            # determinism despite threading
+            from smsut_tpu.data.device_augment import DeviceAugment as _DA
+
+            da_lb = _DA(cfg, pyrandom.Random(cfg.seed + 101))
+            da_ul = _DA(cfg, pyrandom.Random(cfg.seed + 202))
+
+            def _attach(da):
+                def post(b):
+                    h, w = b.img.shape[1:3]
+                    return (b, da.sample_params(b.batch_size, h, w))
+
+                return post
+
+            lb_loader.post = _attach(da_lb)
+            ul_loader.post = _attach(da_ul)
 
         self.info(f"train labeled images: {len(lb_loader.dataset)}")
         self.info(f"train unlabel images: {len(ul_loader.dataset)}")
@@ -152,9 +170,11 @@ class Trainer:
             # fixed images for the per-epoch translation grid
             # (`uganShp0Trainer.py:149-155`)
             fb = lb_itr.next()
+            fb = fb[0] if isinstance(fb, tuple) else fb
             img, mdl = fb.img, fb.mdl
             if getattr(self.algo, "uses_unlabeled", False):
                 fb2 = ul_itr.next()
+                fb2 = fb2[0] if isinstance(fb2, tuple) else fb2
                 img = np.concatenate([img, fb2.img])
                 mdl = np.concatenate([mdl, fb2.mdl])
             if self.device_aug is not None:  # raw uint8 [B,H,W] batches
@@ -235,7 +255,8 @@ class Trainer:
             self._fused_step = make_fused_step(self.algo, self.device_aug)
 
         for i in range(n_iters):
-            lb = lb_itr.next()
+            item = lb_itr.next()
+            lb, lb_params = item if isinstance(item, tuple) else (item, None)
             m = int(lb.mdl[0])
             scalars = dict(scalars_host)
             scalars["rng"] = keys[i + 1]
@@ -243,13 +264,19 @@ class Trainer:
                      if hasattr(self.algo, "make_extra_batch") else {})
 
             if self.device_aug is not None:
-                h, w = lb.img.shape[1:3]
-                args = [lb.img, lb.msk, lb.mdl,
-                        self.device_aug.sample_params(lb.batch_size, h, w)]
+                if lb_params is None:
+                    h, w = lb.img.shape[1:3]
+                    lb_params = self.device_aug.sample_params(lb.batch_size, h, w)
+                args = [lb.img, lb.msk, lb.mdl, lb_params]
                 if uses_ul:
-                    ul = ul_itr.next()
-                    args += [ul.img, ul.msk, ul.mdl,
-                             self.device_aug.sample_params(ul.batch_size, h, w)]
+                    uitem = ul_itr.next()
+                    ul, ul_params = (uitem if isinstance(uitem, tuple)
+                                     else (uitem, None))
+                    if ul_params is None:
+                        h, w = ul.img.shape[1:3]
+                        ul_params = self.device_aug.sample_params(ul.batch_size,
+                                                                  h, w)
+                    args += [ul.img, ul.msk, ul.mdl, ul_params]
                 self.state, metrics = self._fused_step(self.state, *args,
                                                        extra, scalars)
             else:
