@@ -1,0 +1,96 @@
+# -*- coding: utf-8 -*-
+"""Host-side metric tests: dice, ASSD (medpy-equivalent), connected-component
+filtering, modality-organ matrices, CSV format."""
+import numpy as np
+import pytest
+
+from smsut_tpu.config import Config
+from smsut_tpu.ops.metrics import (
+    assd_metric,
+    connected_components,
+    dice_coefficient,
+    get_all_matrix,
+    get_mo_matrix,
+    matrix_to_csv,
+)
+
+CFG = Config()
+
+
+def test_dice_coefficient():
+    a = np.zeros((4, 4), bool)
+    b = np.zeros((4, 4), bool)
+    a[:2] = True
+    b[1:3] = True
+    # |a|=8 |b|=8 inter=4 -> 2*4/16
+    assert dice_coefficient(a, b) == pytest.approx(0.5)
+    assert dice_coefficient(a, a) == 1.0
+    assert dice_coefficient(np.zeros((2, 2)), np.zeros((2, 2))) == 0.0
+
+
+def test_assd_identical_is_zero():
+    a = np.zeros((8, 8), bool)
+    a[2:6, 2:6] = True
+    assert assd_metric(a, a) == 0.0
+
+
+def test_assd_translated_square():
+    a = np.zeros((16, 16), bool)
+    b = np.zeros((16, 16), bool)
+    a[4:8, 4:8] = True
+    b[4:8, 6:10] = True  # shifted 2 in x
+    d = assd_metric(a, b)
+    assert 0.5 < d < 2.0  # mean symmetric surface distance of a 2px shift
+
+
+def test_connected_components_drops_small():
+    pred = np.zeros((16, 16), np.uint8)
+    pred[0:8, 0:8] = 1          # 64 px component
+    pred[14, 14] = 1            # 1 px << 10% of 65
+    out = connected_components(pred, n_label=4)
+    assert out[2, 2] == 1
+    assert out[14, 14] == 0
+
+
+def test_connected_components_keeps_multiple_classes():
+    pred = np.zeros((8, 8), np.uint8)
+    pred[:4, :4] = 1
+    pred[4:, 4:] = 3
+    out = connected_components(pred, n_label=4)
+    np.testing.assert_array_equal(out, pred)
+
+
+def test_mo_matrix_means():
+    gt = {f"{m}_001": np.zeros((2, 8, 8), np.uint8)
+          for m in ("ct", "t1in", "t1out", "t2")}
+    prd = {}
+    for k in gt:
+        gt[k][0, :4, :4] = 1
+        prd[k] = gt[k].copy()  # perfect prediction for organ 1
+    mat = get_mo_matrix(prd, gt, CFG)
+    assert mat.shape == (5, 5)
+    np.testing.assert_allclose(mat[:4, 0], 1.0)  # organ 1 dice = 1
+    np.testing.assert_allclose(mat[:4, 1:4], 0.0)  # absent organs -> dc 0
+    assert mat[-1, -1] == pytest.approx(0.25)   # mean of (1,0,0,0)
+
+
+def test_get_all_matrix_hd_quirk_and_assd():
+    gt = {f"{m}_001": np.zeros((2, 16, 16), np.uint8)
+          for m in ("ct", "t1in", "t1out", "t2")}
+    prd = {}
+    for k in gt:
+        gt[k][:, 4:8, 4:8] = 1
+        prd[k] = gt[k].copy()
+    dc_m, hd_m, assd_m = get_all_matrix(prd, gt, CFG)
+    np.testing.assert_allclose(dc_m, hd_m)  # reference quirk: HD slot == dice
+    np.testing.assert_allclose(assd_m[:4, 0], 0.0)  # perfect -> assd 0
+
+
+def test_matrix_to_csv_format():
+    m = np.arange(25, dtype=float).reshape(5, 5) / 10
+    csv = matrix_to_csv(m, m)
+    blocks = csv.strip().split("\n\n")
+    assert len(blocks) == 2
+    rows = blocks[0].split("\n")
+    assert len(rows) == 5
+    assert rows[0] == "0.0000,0.1000,0.2000,0.3000,0.4000"
