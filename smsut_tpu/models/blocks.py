@@ -15,14 +15,12 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from smsut_tpu.models.layers import (
-    InstanceNorm,
     NormAct,
     avg_pool2,
     conv,
     conv1x1,
     conv3x3,
     get_act,
-    get_norm,
     kaiming_normal_fan_out,
     max_pool2,
     upsample_bilinear2,

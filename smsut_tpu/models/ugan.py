@@ -28,8 +28,6 @@ from smsut_tpu.models.layers import (
     conv,
     conv1x1,
     conv3x3,
-    get_act,
-    get_norm,
     kaiming_normal_fan_out,
     max_pool2,
     normal_init,
