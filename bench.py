@@ -74,13 +74,15 @@ def bench_jax_scan(model: str, iters: int = 50, use_pallas: bool = False) -> flo
 
 
 def bench_jax(model: str, iters: int = 30, warmup: int = 3,
-              use_pallas: bool = False) -> float:
+              use_pallas: bool = False, batch: int = 0) -> float:
     import jax
     import jax.numpy as jnp
 
     from smsut_tpu.config import Config
 
     cfg = Config(use_pallas=use_pallas)
+    if batch:
+        cfg = cfg.replace(batch_size=batch)
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.normal(size=(cfg.batch_size, cfg.input_size,
                                        cfg.input_size, 1)).astype(np.float32))
@@ -288,6 +290,8 @@ def main():
                     help="bench the full input pipeline instead of the bare step")
     ap.add_argument("--scan", action="store_true",
                     help="chain steps with lax.scan (device-only throughput)")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="override batch size (0 = reference batch 8)")
     args = ap.parse_args()
 
     if args.scan:
@@ -304,7 +308,8 @@ def main():
             "value": round(v, 2), "unit": "slices/s", "vs_baseline": 0.0}))
         return
 
-    tpu = bench_jax(args.model, args.iters, use_pallas=args.pallas)
+    tpu = bench_jax(args.model, args.iters, use_pallas=args.pallas,
+                    batch=args.batch)
     baseline = 0.0
     if not args.skip_baseline:
         try:
