@@ -34,6 +34,35 @@ def make_mesh(n_devices: int = 0, devices: Optional[Sequence] = None,
     return Mesh(np.asarray(devices), ("data",))
 
 
+def make_mesh_2d(dp: int, tp: int, devices: Optional[Sequence] = None) -> Mesh:
+    """('data', 'model') mesh for combined data + channel-wise tensor
+    parallelism.  The reference has nothing comparable (§2.7); at base_width
+    16 the models are small enough that TP is optional, but the axis is
+    first-class: conv kernels shard on their output-channel dim and XLA
+    inserts the all-gathers/reduce-scatters over ICI."""
+    if devices is None:
+        devices = jax.devices()
+    assert len(devices) >= dp * tp, f"need {dp * tp} devices"
+    arr = np.asarray(devices[: dp * tp]).reshape(dp, tp)
+    return Mesh(arr, ("data", "model"))
+
+
+def shard_params_channelwise(mesh: Mesh, params: Any) -> Any:
+    """device_put a param tree with every kernel's output-channel (last) dim
+    sharded over 'model' when divisible; everything else replicated over the
+    whole mesh.  Gradients/optimizer state inherit the layout."""
+    tp = mesh.shape["model"]
+
+    def put(x):
+        if x.ndim >= 2 and x.shape[-1] % tp == 0:
+            spec = P(*([None] * (x.ndim - 1) + ["model"]))
+        else:
+            spec = P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(put, params)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) dim over the data axis."""
     return NamedSharding(mesh, P("data"))
