@@ -34,6 +34,11 @@ class Experiment:
             self._init_train_env(snapshot_src)
 
     def _init_train_env(self, snapshot_src: Optional[str]) -> None:
+        if snapshot_src is None:
+            # default: snapshot the framework source like the reference's
+            # copytree-of-CWD (`baseTrainer.py:91`)
+            snapshot_src = os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))))
         maybe_mkdir(self.expr_root)
         self.model_idx = str(len(os.listdir(self.expr_root))).rjust(3, "0")
         self.model_root = pjoin(self.expr_root, self.model_idx)
@@ -43,10 +48,13 @@ class Experiment:
         self.sample_root = pjoin(self.model_root, "sample")
         maybe_mkdir(self.model_root, self.ckpt_root, tb_root, self.result_root,
                     self.sample_root)
-        if snapshot_src and os.path.isdir(snapshot_src):
+        inside = os.path.abspath(self.model_root).startswith(
+            os.path.abspath(snapshot_src) + os.sep) if snapshot_src else False
+        if snapshot_src and os.path.isdir(snapshot_src) and not inside:
             shutil.copytree(snapshot_src, pjoin(self.model_root, "code"),
-                            ignore=shutil.ignore_patterns(".git", "__pycache__",
-                                                          "*.ckpt"),
+                            ignore=shutil.ignore_patterns(
+                                ".git", "__pycache__", "*.ckpt", "*.so",
+                                ".pytest_cache"),
                             dirs_exist_ok=True)
         if SummaryWriter is not None:
             self.writer = SummaryWriter(tb_root)
