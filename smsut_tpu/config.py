@@ -112,6 +112,9 @@ class Config:
     device_augment: bool = True
     # write a jax.profiler trace of one training epoch to this directory.
     profile_dir: str = ""
+    # rematerialize GAN generator forwards (jax.checkpoint): trades FLOPs
+    # for HBM, enabling larger batches.
+    remat: bool = False
 
     def __post_init__(self):
         env_base = os.environ.get("SMSUT_DATA_ROOT")

@@ -104,7 +104,9 @@ class Trainer:
         logits = self.algo.eval_fn(params, img)
         loss = dice_and_ce_loss(logits, msk, self.cfg.weight_dc, self.cfg.weight_ce,
                                 batch_dice=True)
-        pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        # uint8 predictions: n_label <= 255 and the per-volume npys are uint8;
+        # keeps eval HBM residency small on real test sets
+        pred = jnp.argmax(logits, axis=-1).astype(jnp.uint8)
         return loss, pred
 
     # ------------------------------------------------------------------- fit

@@ -307,14 +307,28 @@ class CoraNet:
 
     def _unlabeled_stream(self, trainer):
         """Augmented unlabeled sample stream, one full inTurn bs=1 pass
-        (`coraNetTrainer.py:609` uses batch_size=1 with data_aug)."""
+        (`coraNetTrainer.py:609` uses batch_size=1 with data_aug).  With
+        device_augment the warp runs on-device (the host chain costs
+        ~7ms/slice on this 1-CPU box)."""
         from smsut_tpu.data.dataset import get_loader
 
         cfg = self.cfg
-        loader = get_loader(cfg.base_root, "val", trainer.fold, 1, cfg.data_aug,
-                            cfg=cfg, rng=trainer._data_rng)
-        for batch in loader:
-            yield batch.img[0], batch.msk[0], int(batch.mdl[0])
+        if cfg.device_augment:
+            from smsut_tpu.data.device_augment import DeviceAugment
+
+            da = DeviceAugment(cfg, trainer._data_rng)
+            loader = get_loader(cfg.base_root, "val", trainer.fold, 1,
+                                cfg.data_aug, cfg=cfg, rng=trainer._data_rng,
+                                raw=True)
+            for batch in loader:
+                img, msk = da(batch.img, batch.msk)
+                yield (np.asarray(img[0]), np.asarray(msk[0]),
+                       int(batch.mdl[0]))
+        else:
+            loader = get_loader(cfg.base_root, "val", trainer.fold, 1,
+                                cfg.data_aug, cfg=cfg, rng=trainer._data_rng)
+            for batch in loader:
+                yield batch.img[0], batch.msk[0], int(batch.mdl[0])
 
     _pseudo: Optional[Dict[str, np.ndarray]] = None
     _pseudo_order: List[int] = None

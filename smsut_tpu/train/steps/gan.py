@@ -110,10 +110,17 @@ class UGANBase:
 
     # ------------------------------------------------------------- forwards
     def _g_forward(self, params, x, m, patch_ids):
-        if self.with_nce:
-            return self.net.apply({"params": params}, x, m, patch_ids)
-        seg, tsl = self.net.apply({"params": params}, x, m)
-        return seg, tsl, None
+        def fwd(params, x, m):
+            if self.with_nce:
+                return self.net.apply({"params": params}, x, m, patch_ids)
+            seg, tsl = self.net.apply({"params": params}, x, m)
+            return seg, tsl, None
+
+        if getattr(self.cfg, "remat", False):
+            # rematerialize the generator towers: trades FLOPs for HBM so
+            # larger batches fit (jax.checkpoint; off by default)
+            fwd = jax.checkpoint(fwd)
+        return fwd(params, x, m)
 
     # ------------------------------------------------------------ the step
     def _train_step_impl(self, state: GANTrainState, batch: Dict[str, jax.Array],
