@@ -115,6 +115,11 @@ class Config:
     # rematerialize GAN generator forwards (jax.checkpoint): trades FLOPs
     # for HBM, enabling larger batches.
     remat: bool = False
+    # evaluate/checkpoint every N epochs (1 == reference behaviour).  On the
+    # axon-tunnelled dev chip, running ANY second executable (eval, grids,
+    # checkpoint transfers) makes every later train-step execution pay a
+    # ~330ms remote program reload — raise this there to amortize it.
+    eval_every: int = 1
 
     def __post_init__(self):
         env_base = os.environ.get("SMSUT_DATA_ROOT")

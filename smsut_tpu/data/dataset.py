@@ -197,6 +197,30 @@ class BatchLoader:
                 break
             yield item
 
+    def iter_cycle(self) -> Iterator[Batch]:
+        """Endless stream from ONE persistent producer thread.  Training
+        pulls num_iter_per_epoch batches regardless of sampler length
+        (`unetTrainer.py:59-63`'s StopIteration-restart pattern); restarting
+        __iter__ for every wraparound leaks a blocked producer thread per
+        restart on small datasets — this keeps exactly one."""
+        if self._cycle_q is None:
+            q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_depth)
+
+            def producer():
+                while True:
+                    for idxs in self.sampler:
+                        item = self._collate(idxs)
+                        if self.post is not None:
+                            item = self.post(item)
+                        q.put(item)
+
+            threading.Thread(target=producer, daemon=True).start()
+            self._cycle_q = q
+        while True:
+            yield self._cycle_q.get()
+
+    _cycle_q = None
+
     def __len__(self) -> int:
         return len(self.sampler)
 

@@ -56,7 +56,7 @@ class Experiment:
                                 ".git", "__pycache__", "*.ckpt", "*.so",
                                 ".pytest_cache"),
                             dirs_exist_ok=True)
-        if SummaryWriter is not None:
+        if SummaryWriter is not None and os.environ.get("SMSUT_NO_TB") != "1":
             self.writer = SummaryWriter(tb_root)
 
         self.logger = logging.getLogger(f"smsut.{self.model_idx}")

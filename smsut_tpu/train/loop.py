@@ -8,6 +8,7 @@ loss metering, slice→volume scatter for evaluation, mean-Dice model selection,
 best/last checkpoints, and the trois CSV in the test phase."""
 from __future__ import annotations
 
+import os
 import time
 from functools import partial
 from os.path import join as pjoin
@@ -29,11 +30,15 @@ from smsut_tpu.utils.meter import Meter
 
 class _Cycler:
     """next()-with-restart iteration like the reference's try/except
-    StopIteration pattern (`unetTrainer.py:59-63`)."""
+    StopIteration pattern (`unetTrainer.py:59-63`), backed by the loader's
+    single persistent cycling producer when available."""
 
     def __init__(self, loader):
         self.loader = loader
-        self.itr = iter(loader)
+        if hasattr(loader, "iter_cycle"):
+            self.itr = loader.iter_cycle()
+        else:
+            self.itr = iter(loader)
 
     def next(self) -> Batch:
         try:
@@ -133,7 +138,7 @@ class Trainer:
                                cfg.data_aug, cfg=cfg, rng=data_rng, raw=raw,
                                loader_type=loader_type)
         test_loader = get_loader(cfg.base_root, "test", 0, cfg.batch_size, cfg=cfg)
-        if raw:
+        if raw and os.environ.get("SMSUT_NO_POST") != "1":
             # sample augment params in the producer threads so the training
             # thread only dispatches; independent RNG streams per loader keep
             # determinism despite threading
@@ -181,7 +186,7 @@ class Trainer:
                 mdl = np.concatenate([mdl, fb2.mdl])
             if self.device_aug is not None:  # raw uint8 [B,H,W] batches
                 img = (img.astype(np.float32) / 255.0 - 0.5)[..., None] / 0.5
-            self.algo.set_fixed_batch(jnp.asarray(img), jnp.asarray(mdl))
+            self.algo.set_fixed_batch(img, mdl)  # numpy; no device program
         max_epoch = (self.algo.max_epoch if hasattr(self.algo, "max_epoch")
                      else cfg.max_epoch)
         best_prefix = getattr(self.algo, "best_prefix", "best")
@@ -211,6 +216,12 @@ class Trainer:
             self._write_scalars("train", train_meter, epoch)
             self.exp.scalar("train/lr", lr, epoch)
             tic = time.time()
+
+            # eval_every > 1 skips eval/checkpoint/grids on off-epochs (the
+            # axon dev tunnel reloads the train program after ANY other
+            # executable runs — ~330ms per subsequent step; see CLAUDE.md)
+            if (epoch + 1) % max(1, cfg.eval_every) and epoch != max_epoch - 1:
+                continue
 
             test_meter.reset_cur()
             n_prd_slic, prd_npys = self.validate_epoch(test_loader, tst_npys, test_meter)
@@ -250,20 +261,41 @@ class Trainer:
         tic = time.time()
         n_iters = cfg.num_iter_per_epoch * getattr(self.algo, "n_critic", 1)
         uses_ul = getattr(self.algo, "uses_unlabeled", False)
-        # one PRNG split for the whole epoch: avoids a per-iteration dispatch
-        keys = np.asarray(jax.random.split(self.rng, n_iters + 1))
-        self.rng = jnp.asarray(keys[0])
+        # per-iteration PRNG keys derived host-side (uint32 pairs are valid
+        # threefry keys): zero device programs on the training path — the
+        # dev tunnel reloads the main program after any other executable
+        self._key_epoch = getattr(self, "_key_epoch", 0) + 1
+        hi = np.uint32((self.cfg.seed * 2654435761 + self._key_epoch) & 0xFFFFFFFF)
+        keys = np.stack([np.array([hi, i], np.uint32) for i in range(n_iters + 1)])
         if self.device_aug is not None and self._fused_step is None:
             self._fused_step = make_fused_step(self.algo, self.device_aug)
 
+        import os as _os
+
+        timing = _os.environ.get("SMSUT_TIMING") == "1"
+        t_fetch = t_dispatch = t_other = 0.0
+        _t0 = time.perf_counter()
+        # IMPORTANT: the scalars/extra containers must be the SAME dict
+        # objects every call — this backend's jit fastpath keys on container
+        # identity and a fresh dict per iteration falls back to a ~330ms
+        # slow-path dispatch (measured; values are re-read each call, so
+        # in-place reassignment below is safe).
+        scalars = dict(scalars_host)
+        extra_buf: Dict = {}
         for i in range(n_iters):
+            if timing:
+                _t = time.perf_counter()
+                t_other += _t - _t0
             item = lb_itr.next()
             lb, lb_params = item if isinstance(item, tuple) else (item, None)
+            if timing:
+                _t2 = time.perf_counter()
+                t_fetch += _t2 - _t
             m = int(lb.mdl[0])
-            scalars = dict(scalars_host)
             scalars["rng"] = keys[i + 1]
-            extra = (self.algo.make_extra_batch()
-                     if hasattr(self.algo, "make_extra_batch") else {})
+            if hasattr(self.algo, "make_extra_batch"):
+                extra_buf.update(self.algo.make_extra_batch())
+            extra = extra_buf
 
             if self.device_aug is not None:
                 if lb_params is None:
@@ -279,8 +311,13 @@ class Trainer:
                         ul_params = self.device_aug.sample_params(ul.batch_size,
                                                                   h, w)
                     args += [ul.img, ul.msk, ul.mdl, ul_params]
+                if timing:
+                    _t3 = time.perf_counter()
                 self.state, metrics = self._fused_step(self.state, *args,
                                                        extra, scalars)
+                if timing:
+                    _t0 = time.perf_counter()
+                    t_dispatch += _t0 - _t3
             else:
                 batch = {"img": lb.img, "msk": lb.msk, "mdl": lb.mdl}
                 if uses_ul:
@@ -300,6 +337,9 @@ class Trainer:
                 for k, v in last.items():
                     msg += " %s: %.4f," % (k, v)
                 self.info(msg)
+        if timing:
+            self.info(f"[TIMING] fetch={t_fetch:.2f}s dispatch={t_dispatch:.2f}s "
+                      f"other={t_other:.2f}s over {n_iters} iters")
         # drain metrics once per epoch (single host sync); non-finite losses
         # abort with context (failure detection — the reference would train
         # silently through NaNs)

@@ -270,7 +270,7 @@ class CoraNet:
 
     def epoch_scalars(self, epoch: int) -> Dict[str, jax.Array]:
         lam = self.lambda_semi * sigmoid_rampup(epoch, self.epoch_rampup)
-        return {"lambda_semi": jnp.float32(lam)}
+        return {"lambda_semi": np.float32(lam)}
 
     # ------------------------------------------------- stage-B host plumbing
     @property

@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import Dict, Tuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 import optax
 
@@ -94,4 +95,4 @@ class CrossPseudo:
 
     def epoch_scalars(self, epoch: int) -> Dict[str, jax.Array]:
         lam = self.lambda_semi * sigmoid_rampup(epoch, self.cfg.max_epoch)
-        return {"lambda_semi": jnp.float32(lam)}
+        return {"lambda_semi": np.float32(lam)}

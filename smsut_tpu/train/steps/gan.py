@@ -250,10 +250,10 @@ class UGANBase:
         if self.variant == "ugan":
             lam = min(epoch * (self.lambda_shp / self.lambda_shp_lazy),
                       self.lambda_seg)
-            out["lambda_shp"] = jnp.float32(lam)
+            out["lambda_shp"] = np.float32(lam)
         if self.variant == "uganConsis":
             lam = self.lambda_semi * sigmoid_rampup(epoch, self.cfg.max_epoch)
-            out["lambda_semi"] = jnp.float32(lam)
+            out["lambda_semi"] = np.float32(lam)
         return out
 
     # ------------------------------------------------------ sample grids
@@ -283,8 +283,10 @@ class UGANBase:
 
     _fixed: Optional[Tuple] = None
 
-    def set_fixed_batch(self, x_fixed: jax.Array, mdl: jax.Array) -> None:
-        self._fixed = (x_fixed, label2onehot(mdl, self.cfg.n_modal))
+    def set_fixed_batch(self, x_fixed, mdl) -> None:
+        # numpy one-hot: no device program on the training path
+        onehot = np.eye(self.cfg.n_modal, dtype=np.float32)[np.asarray(mdl)]
+        self._fixed = (np.asarray(x_fixed), onehot)
 
 
 class UGANTrainerAlgo(UGANBase):

@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Dict, Tuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from smsut_tpu.config import Config
@@ -100,4 +101,4 @@ class MeanTeacher:
 
     def epoch_scalars(self, epoch: int) -> Dict[str, jax.Array]:
         lam = self.lambda_semi * sigmoid_rampup(epoch, self.epoch_rampup)
-        return {"lambda_semi": jnp.float32(lam)}
+        return {"lambda_semi": np.float32(lam)}
