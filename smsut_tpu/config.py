@@ -115,6 +115,11 @@ class Config:
     # rematerialize GAN generator forwards (jax.checkpoint): trades FLOPs
     # for HBM, enabling larger batches.
     remat: bool = False
+    # pseudo phase: volumes whose slices are additionally assembled into a
+    # whole-volume translation grid jpg — the reference's hand-picked
+    # visualization list (`uganConsisTrainer.py:292`).
+    pseudo_volumes: Tuple[str, ...] = ("ct_028", "t1in_037", "t1out_015",
+                                       "t2_032")
     # evaluate/checkpoint every N epochs (1 == reference behaviour).  On the
     # axon-tunnelled dev chip, running ANY second executable (eval, grids,
     # checkpoint transfers) makes every later train-step execution pay a

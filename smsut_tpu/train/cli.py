@@ -126,6 +126,9 @@ def saving_pseudo(trainer, expr_root: str) -> None:
     # selected-volume fk dumps (`uganConsisTrainer.py:248-303`)
     translate = getattr(trainer.algo, "_translate", None)
     count = 0
+    # whole-volume translation grids for the reference's hand-picked volumes
+    # (`uganConsisTrainer.py:292`: ct_028, t1in_037, t1out_015, t2_032)
+    vol_strips: dict = {k: [] for k in (cfg.pseudo_volumes or ())}
     for batch in loader:
         b = batch.batch_size
         img, msk = batch.img, batch.msk
@@ -163,4 +166,17 @@ def saving_pseudo(trainer, expr_root: str) -> None:
             if strips is not None:
                 Image.fromarray((strips[i, ..., 0] * 255).astype(np.uint8)).save(
                     pjoin(pred_root, batch.names[i] + "fk.jpg"))
+                mod, pid, z = batch.names[i].split("_")
+                key = f"{mod}_{pid}"
+                if key in vol_strips:
+                    vol_strips[key].append((int(z), strips[i, ..., 0]))
+    for key, rows in vol_strips.items():
+        if not rows:
+            continue
+        rows.sort(key=lambda t: t[0])
+        grid = np.concatenate([r for _, r in rows], axis=0)
+        Image.fromarray((grid * 255).astype(np.uint8)).save(
+            pjoin(pred_root, key + "_grid.jpg"))
+        trainer.info(f"Saved translation grid {key}_grid.jpg "
+                     f"({len(rows)} slices).")
     print(count)

@@ -92,9 +92,28 @@ class Trainer:
         self.rng = jax.random.PRNGKey(cfg.seed)
         self.rng, init_rng = jax.random.split(self.rng)
         self.state = algo.init_state(init_rng)
+        self._log_param_counts()
         if self.mesh is not None:
             self.state = replicate(self.mesh, self.state)
         self._eval_step = jax.jit(self._eval_step_impl)
+
+    def _log_param_counts(self) -> None:
+        """Startup parameter-count log, matching the reference's
+        ``count_param_number(self.net, verbose=True, logger=self)`` call in
+        every trainer (`misc/visualize.py:25-33`, `crossPseTrainer.py:51-52`,
+        `meanTeacherTrainer.py:52`, `coraNetTrainer.py:155`,
+        `uganShp0Trainer.py:69`)."""
+        from smsut_tpu.utils.io import count_param_number
+
+        trees = (("net", getattr(self.state, "params", None)),
+                 ("net2", getattr(self.state, "params2", None)),
+                 ("G", getattr(self.state, "g_params", None)),
+                 ("D", getattr(self.state, "d_params", None)))
+        for label, tree in trees:
+            if tree is not None:
+                n = count_param_number(tree)
+                self.info(f"[{label}] Number of parameters: {n} "
+                          f"({n / 1e6:.4f}M)")
 
     # ------------------------------------------------------------------ utils
     def info(self, s):
