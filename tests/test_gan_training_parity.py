@@ -1,0 +1,253 @@
+# -*- coding: utf-8 -*-
+"""GAN *training* parity: the flagship jitted GAN step (D Adam + WGAN-GP
+grad-of-grad + G SGD + poly-LR one-step lag, `train/steps/gan.py`) tracks a
+torch re-derivation of the reference iteration
+(`/root/reference/trainer/uganTrainer.py:115-229`) loss-for-loss and
+parameter-for-parameter over multiple steps, starting from transplanted
+weights and identical randomness (mj, alpha fixed per step).
+
+This covers the hardest step in the zoo end-to-end: the three measured
+quirks (alpha~randn, updated-D ordering, poly-LR lag) all live here.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as F
+
+from smsut_tpu.config import Config
+from smsut_tpu.train.steps.gan import UGANTrainerAlgo
+from tests.test_full_model_parity import _load_block
+from tests.test_training_parity import _torch_dice_ce
+from tests.test_ugan_parity import TUGAN, _load_encoder, _load_decoder
+from tests.test_discriminator_parity import TDisc, _w, _norm
+
+W = 8
+SIZE = 64
+N_MODAL = 4
+
+
+def _load_tugan(t: TUGAN, g_params) -> None:
+    core = g_params["core"]
+    _load_encoder(t.tsl_encoder, core["tsl_encoder"])
+    _load_encoder(t.seg_encoder, core["seg_encoder"])
+    _load_block(t.enc5, core["enc5"])
+    _load_decoder(t.tsl_decoder, core["tsl_decoder"], transposed=False)
+    _load_decoder(t.seg_decoder, core["seg_decoder"], transposed=True)
+
+
+def _load_tdisc(t: TDisc, d_params) -> None:
+    t.stem.weight.data = _w(d_params["stem"]["kernel"])
+    t.stem.bias.data = torch.tensor(np.asarray(d_params["stem"]["bias"]))
+    for i, blk in enumerate(t.blocks, start=1):
+        p = d_params[f"block{i}"]
+        blk.conv1.weight.data = _w(p["conv1"]["kernel"])
+        blk.conv2.weight.data = _w(p["conv2"]["kernel"])
+        _norm(blk.bn1, p["bn1"])
+        _norm(blk.bn2, p["bn2"])
+        if blk.down:
+            blk.sconv.weight.data = _w(p["short_conv"]["kernel"])
+            _norm(blk.snorm, p["short_norm"])
+    t.conv_src.weight.data = _w(d_params["conv_src"]["kernel"])
+    t.conv_cls.weight.data = _w(d_params["conv_cls"]["kernel"])
+
+
+def _torch_gan_step(t_g, t_d, opt_g, opt_d, cfg, x, y, mdl, mj, alpha,
+                    lam_shp, it):
+    """One reference iteration (`uganTrainer.py:136-216`) with the randomness
+    (target modality, GP interpolation) supplied as arguments."""
+    n = x.size(0)
+    modal_trg = torch.full_like(mdl, mj)
+    vec_org = F.one_hot(mdl, N_MODAL).float()
+    vec_trg = F.one_hot(modal_trg, N_MODAL).float()
+    vec_ot, vec_to = vec_trg - vec_org, vec_org - vec_trg
+
+    # ---- D step
+    src_r, cls_r = t_d(x)
+    d_real = -src_r.mean()
+    d_cls = F.cross_entropy(cls_r, mdl)
+    _, x_fake = t_g(x, vec_ot)
+    src_f, _ = t_d(x_fake.detach())
+    d_fake = src_f.mean()
+    x_hat = (alpha * x.data + (1 - alpha) * x_fake.data).requires_grad_(True)
+    src_h, _ = t_d(x_hat)
+    dydx = torch.autograd.grad(src_h, x_hat, torch.ones_like(src_h),
+                               retain_graph=True, create_graph=True,
+                               only_inputs=True)[0]
+    d_gp = ((dydx.reshape(n, -1).pow(2).sum(1).sqrt() - 1.0) ** 2).mean()
+    d_loss = d_real + d_fake + 1.0 * d_cls + 10.0 * d_gp
+    opt_d.zero_grad()
+    opt_g.zero_grad()
+    d_loss.backward()
+    opt_d.step()
+
+    # ---- G step against the UPDATED discriminator
+    y_fake, x_fake = t_g(x, vec_ot)
+    src, cls = t_d(x_fake)
+    g_fake = -src.mean()
+    g_cls = F.cross_entropy(cls, modal_trg)
+    g_seg = _torch_dice_ce(y_fake, y)
+    y_rec, x_rec = t_g(x_fake, vec_to)
+    g_rec = (x - x_rec).abs().mean()
+    g_shp = _torch_dice_ce(y_rec, y)
+    g_loss = (g_fake + 10.0 * g_rec + 1.0 * g_cls + 10.0 * g_seg
+              + lam_shp * g_shp)
+    opt_d.zero_grad()
+    opt_g.zero_grad()
+    g_loss.backward()
+    opt_g.step()
+
+    # reference poly-LR: mutated AFTER the step (one-step lag), both opts
+    lr_ = cfg.lr * (1.0 - it / cfg.total_iters) ** 0.9
+    for opt in (opt_g, opt_d):
+        for pg in opt.param_groups:
+            pg["lr"] = lr_
+
+    return dict(D_real=d_real.item(), D_fake=d_fake.item(),
+                D_cls=d_cls.item(), D_gp=d_gp.item(), G_fake=g_fake.item(),
+                G_rec=g_rec.item(), G_cls=g_cls.item(), G_seg=g_seg.item(),
+                G_shp=g_shp.item())
+
+
+def test_gan_training_steps_match(rng):
+    cfg = Config(input_size=SIZE, base_width=W, batch_size=2,
+                 compute_dtype="float32", num_iter_per_epoch=10, max_epoch=2)
+    algo = UGANTrainerAlgo(cfg)
+    state = algo.init_state(jax.random.PRNGKey(0))
+
+    x = rng.normal(size=(2, SIZE, SIZE, 1)).astype(np.float32) * 0.5
+    y = rng.integers(0, 5, size=(2, SIZE, SIZE))
+    mdl = np.array([1, 1], np.int32)  # single-modality batch (inTurn loader)
+
+    t_g = TUGAN(w=W, out_ch=5, n_modal=N_MODAL)
+    t_d = TDisc(size=SIZE, n_modal=N_MODAL, w=W, max_w=512)
+    _load_tugan(t_g, state.g_params)
+    _load_tdisc(t_d, state.d_params)
+    opt_g = torch.optim.SGD(t_g.parameters(), lr=cfg.lr, momentum=0.9,
+                            weight_decay=cfg.weight_decay)
+    opt_d = torch.optim.Adam(t_d.parameters(), lr=cfg.lr, betas=(0.9, 0.999),
+                             weight_decay=cfg.weight_decay)
+
+    tx = torch.tensor(x.transpose(0, 3, 1, 2))
+    ty = torch.tensor(y)
+    tm = torch.tensor(mdl, dtype=torch.long)
+    batch = {"img": jnp.asarray(x), "msk": jnp.asarray(y),
+             "mdl": jnp.asarray(mdl)}
+    lam_shp = float(algo.epoch_scalars(3)["lambda_shp"])  # 3*(10/20) = 1.5
+
+    for k in range(3):
+        key = jax.random.PRNGKey(100 + k)
+        scalars = {"lambda_shp": np.float32(lam_shp), "rng": key}
+        state, metrics = algo.train_step(state, batch, scalars)
+
+        # replay the step's in-graph randomness host-side (same key splits
+        # as `gan.py _train_step_impl`) and feed the concrete values to torch
+        r_mj, r_alpha, _ = jax.random.split(key, 3)
+        mj = int(jax.random.randint(r_mj, (), 0, N_MODAL))
+        alpha = torch.tensor(np.asarray(
+            jax.random.normal(r_alpha, (2, 1, 1, 1))))
+        tref = _torch_gan_step(t_g, t_d, opt_g, opt_d, cfg, tx, ty, tm, mj,
+                               alpha, lam_shp, it=k)
+
+        # Step 0 compares fresh, identical weights — tight.  Later steps sit
+        # behind an Adam update whose first step is elementwise sign(g)*lr:
+        # float32 gradient-sign flips near zero flip whole +-lr param jumps,
+        # so divergence is chaotic, not semantic.  Measured: TORCH ITSELF
+        # (f32 vs f64, identical code) self-diverges 6e-2 rel at step 1 and
+        # >1.0 at step 2; jax-f32 vs torch-f32 tracks tighter (2.5e-2 @ step
+        # 1) thanks to correlated rounding.  Tolerances follow that envelope;
+        # the tight semantic evidence is step 0 + the post-step-0 G params +
+        # test_adam_poly_lag_matches_torch below.
+        rtol, atol = (5e-3, 2e-3) if k == 0 else (1.5e-1, 6e-2)
+        for name in ("D_real", "D_fake", "D_cls", "D_gp", "G_fake", "G_rec",
+                     "G_cls", "G_seg", "G_shp"):
+            assert np.isfinite(float(metrics[name]))
+            if k >= 2:
+                continue  # beyond the measured f32 chaos horizon (see above)
+            np.testing.assert_allclose(
+                float(metrics[name]), tref[name], rtol=rtol, atol=atol,
+                err_msg=f"{name} diverged at step {k}")
+
+        if k == 0:
+            # SGD is linear in the gradient (no sign amplification), so
+            # post-step-0 generator params validate the real step's G
+            # gradients + coupled-wd momentum SGD exactly — but only on
+            # leaves whose gradients do NOT flow through the updated
+            # discriminator (the D Adam update already carries f32
+            # sign-flip chaos).  The segmentation tower is D-free: its
+            # grads come only from g_seg (y_fake) and g_shp (y_rec, where
+            # x_fake enters as data).  The tsl tower/enc5 feed the adv
+            # loss via D and inherit the chaos.
+            got_fc = np.asarray(
+                state.g_params["core"]["seg_decoder"]["fc"]["kernel"]
+            ).transpose(3, 2, 0, 1)
+            np.testing.assert_allclose(
+                got_fc, t_g.seg_decoder.fc.weight.detach().numpy(),
+                rtol=2e-3, atol=2e-5)
+            got_pre = np.asarray(
+                state.g_params["core"]["seg_encoder"]["pre_conv"]["kernel"]
+            ).transpose(3, 2, 0, 1)
+            np.testing.assert_allclose(
+                got_pre, t_g.seg_encoder.pre_conv.weight.detach().numpy(),
+                rtol=2e-3, atol=2e-5)
+            # D/Adam params: magnitudes are +-lr everywhere; assert the
+            # update DIRECTIONS agree on >99% of elements (sign flips only
+            # where |grad| ~ float32 noise).
+            got_stem = np.asarray(state.d_params["stem"]["kernel"])
+            want_stem = t_d.stem.weight.detach().numpy().transpose(2, 3, 1, 0)
+            agree = np.mean(np.abs(got_stem - want_stem) < 0.5 * cfg.lr)
+            assert agree > 0.99, f"D stem update direction agreement {agree}"
+
+    # After 3 Adam(D)+SGD(G) steps exact param equality is gone (torch's own
+    # f32-vs-f64 param drift exceeds 100% relative by step 2 — see comment
+    # above); assert the trajectories stay in the same neighbourhood: the
+    # per-element drift between the two frameworks is bounded by a few Adam
+    # steps' worth of movement.
+    got_src = np.asarray(state.d_params["conv_src"]["kernel"]).transpose(3, 2, 0, 1)
+    want_src = t_d.conv_src.weight.detach().numpy()
+    assert np.max(np.abs(got_src - want_src)) < 8 * cfg.lr
+    got_fc = np.asarray(
+        state.g_params["core"]["seg_decoder"]["fc"]["kernel"]
+    ).transpose(3, 2, 0, 1)
+    want_fc = t_g.seg_decoder.fc.weight.detach().numpy()
+    assert np.max(np.abs(got_fc - want_fc)) < 8 * cfg.lr
+
+
+def test_adam_poly_lag_matches_torch():
+    """The D optimizer rule in isolation: make_adam (coupled L2 + bias
+    correction + poly-LR one-step lag) tracks torch.optim.Adam +
+    the reference's post-step LR mutation EXACTLY when both consume the
+    same synthetic gradient stream (no model, no float chaos)."""
+    import optax
+
+    from smsut_tpu.train.state import make_adam
+
+    cfg = Config(num_iter_per_epoch=10, max_epoch=2)  # total_iters = 20
+    rng = np.random.default_rng(7)
+    p0 = rng.normal(size=(4, 3)).astype(np.float32)
+    grads = [rng.normal(size=(4, 3)).astype(np.float32) * (10.0 ** -g)
+             for g in range(6)]  # wide magnitude range exercises eps/corr
+
+    tx = make_adam(cfg, 0.9, 0.999)
+    jp = jnp.asarray(p0)
+    opt_state = tx.init(jp)
+
+    tp = torch.nn.Parameter(torch.tensor(p0))
+    topt = torch.optim.Adam([tp], lr=cfg.lr, betas=(0.9, 0.999),
+                            weight_decay=cfg.weight_decay)
+
+    for it, g in enumerate(grads):
+        updates, opt_state = tx.update(jnp.asarray(g), opt_state, jp)
+        jp = optax.apply_updates(jp, updates)
+
+        tp.grad = torch.tensor(g)
+        topt.step()
+        lr_ = cfg.lr * (1.0 - it / cfg.total_iters) ** 0.9
+        for pg in topt.param_groups:
+            pg["lr"] = lr_
+
+        np.testing.assert_allclose(np.asarray(jp), tp.detach().numpy(),
+                                   rtol=1e-5, atol=1e-7,
+                                   err_msg=f"Adam diverged at step {it}")
