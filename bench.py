@@ -1,15 +1,30 @@
 #!/usr/bin/env python
 # -*- coding: utf-8 -*-
-"""Benchmark: training throughput (slices/sec/chip) at the reference scale.
+"""Benchmark: training throughput with a FLOPs/MFU sanity check.
 
-Measures the jitted SMSUT-TPU train step on the real TPU at the reference's
-training configuration (batch 8, 256x256x1, base_width 16 — `/root/reference/
+Measures the jitted SMSUT-TPU train step at the reference's training
+configuration (batch 8, 256x256x1, base_width 16 — `/root/reference/
 config.py:29-56`) and compares against a reference-faithful PyTorch
 implementation of the same model/step executed on this host's CPU (the
 reference repo publishes no GPU numbers — BASELINE.md).  ``vs_baseline`` is
 therefore TPU-vs-torch-CPU on identical shapes.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Every mode reports the XLA-compiled cost of the exact step being timed
+(`lowered.compile().cost_analysis()`) and the implied model-flops
+utilisation against the chip's declared bf16 peak.  A reading above 100%
+of peak is by construction a harness bug, and the harness refuses to
+print one silently (it sets ``"suspect": true``).
+
+Timing protocol: steps are chained through the donated train state (each
+dispatch depends on the previous state, so the device serializes them) and
+the clock is stopped by fetching a checksum of the *entire* final state to
+the host — not just the last loss, whose value is ready before the final
+backward/update finishes.  The per-step time is taken as the difference
+between a 2N-step and an N-step run, which cancels the fixed
+sync/tunnel-roundtrip overhead that inflated round-1's large-batch numbers
+(BASELINE.md round-1 caveat; VERDICT round 1, "What's weak" #1).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 from __future__ import annotations
 
@@ -19,114 +34,223 @@ import time
 
 import numpy as np
 
+ALL_MODELS = ("unet", "meanTeacher", "crossPse", "coraNet", "coraNetSemi",
+              "M3L", "ugan", "uganShp0", "uganConsis")
 
-def bench_jax_scan(model: str, iters: int = 50, use_pallas: bool = False) -> float:
-    """Device-only throughput: `iters` train steps chained with lax.scan in a
-    single jit — immune to host dispatch noise (this box has 1 CPU shared
-    with everything else)."""
+# Declared bf16 peak (dense matmul) per chip, FLOP/s.  Sources: public TPU
+# spec sheets (v5e 197 TFLOP/s bf16; v4 275; v5p 459; v6e 918).
+_PEAKS = (
+    ("TPU v5 lite", 197e12),
+    ("TPU v5p", 459e12),
+    ("TPU v5", 459e12),
+    ("TPU v4", 275e12),
+    ("TPU v6 lite", 918e12),
+    ("TPU v6", 918e12),
+    ("TPU v7", 2307e12),
+)
+
+
+def chip_peak():
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    for prefix, peak in _PEAKS:
+        if kind.startswith(prefix):
+            return peak, kind
+    return 0.0, kind  # CPU / unknown: MFU not defined
+
+
+def make_algo(model: str, cfg, batch_override: int = 0):
+    """Build (algo, state, batch, scalars) for any algorithm in the zoo."""
     import jax
     import jax.numpy as jnp
 
-    from smsut_tpu.config import Config
-
-    cfg = Config(use_pallas=use_pallas)
+    if batch_override:
+        cfg = cfg.replace(batch_size=batch_override)
+    bs, hw = cfg.batch_size, cfg.input_size
     rng = np.random.default_rng(0)
-    img = jnp.asarray(rng.normal(size=(cfg.batch_size, cfg.input_size,
-                                       cfg.input_size, 1)).astype(np.float32))
-    msk = jnp.asarray(rng.integers(0, cfg.n_class,
-                                   size=(cfg.batch_size, cfg.input_size,
-                                         cfg.input_size)).astype(np.int32))
-    mdl = jnp.zeros((cfg.batch_size,), jnp.int32)
+    img = jnp.asarray(rng.normal(size=(bs, hw, hw, 1)).astype(np.float32))
+    msk = jnp.asarray(rng.integers(0, cfg.n_class, size=(bs, hw, hw))
+                      .astype(np.int32))
+    mdl = jnp.asarray(rng.integers(0, len(cfg.mod_type), size=(bs,))
+                      .astype(np.int32))
 
     if model == "unet":
         from smsut_tpu.train.steps.supervised import SupervisedUNet
 
         algo = SupervisedUNet(cfg)
         batch = {"img": img, "msk": msk}
-        scalars = {}
-    elif model == "uganConsis":
-        from smsut_tpu.train.steps.gan import UGANConsisAlgo
+    elif model == "meanTeacher":
+        from smsut_tpu.train.steps.mean_teacher import MeanTeacher
 
-        algo = UGANConsisAlgo(cfg)
+        algo = MeanTeacher(cfg)
+        batch = {"img": img, "msk": msk, "ul_img": img}
+    elif model == "crossPse":
+        from smsut_tpu.train.steps.cross_pseudo import CrossPseudo
+
+        algo = CrossPseudo(cfg)
+        batch = {"img": img, "msk": msk, "ul_img": img}
+    elif model in ("coraNet", "coraNetSemi"):
+        from smsut_tpu.train.steps.coranet import CoraNet
+
+        algo = CoraNet(cfg, stage="pre" if model == "coraNet" else "cora")
+        batch = {"img": img, "msk": msk}
+        if model == "coraNetSemi":
+            batch.update(pse_img=img, pse_lab=msk,
+                         pse_mask=(msk > 0).astype(jnp.int32))
+    elif model == "M3L":
+        from smsut_tpu.train.steps.m3l import M3L
+
+        algo = M3L(cfg)
+        batch = {"img": img, "msk": msk, "ul_img": img}
+    elif model in ("ugan", "uganShp0", "uganConsis"):
+        from smsut_tpu.train.steps import gan
+
+        cls = {"ugan": gan.UGANTrainerAlgo, "uganShp0": gan.UGANShp0Algo,
+               "uganConsis": gan.UGANConsisAlgo}[model]
+        algo = cls(cfg)
         batch = {"img": img, "msk": msk, "mdl": mdl,
                  "ul_img": img, "ul_mdl": mdl}
-        scalars = dict(algo.epoch_scalars(1), rng=jax.random.PRNGKey(1))
     else:
-        raise SystemExit(f"unknown model {model}")
+        raise SystemExit(f"unknown model {model!r} (choose from {ALL_MODELS})")
 
+    scalars = dict(algo.epoch_scalars(1))
+    scalars["rng"] = jax.random.PRNGKey(1)
     state = algo.init_state(jax.random.PRNGKey(0))
+    return algo, state, batch, scalars
+
+
+def step_flops(algo, state, batch, scalars) -> float:
+    """XLA-reported FLOP cost of one compiled train step."""
+    import jax
+
+    try:
+        lowered = jax.jit(algo._train_step_impl, donate_argnums=(0,)).lower(
+            state, batch, scalars)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):   # older jax returns [dict]
+            cost = cost[0] if cost else {}
+        return float(cost.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def _make_checksum():
+    """A tiny jit that folds every array leaf of (state, metrics) into one
+    scalar — fetching its value to the host forces the whole step chain,
+    including the last parameter update (a bare ``loss`` fetch does not)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def cksum(tree):
+        tot = jnp.zeros((), jnp.float32)
+        for leaf in jax.tree_util.tree_leaves(tree):
+            if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype,
+                                                         jnp.inexact):
+                # a real value-dependent reduction — XLA must wait for the leaf
+                tot = tot + jnp.sum(leaf.astype(jnp.float32))
+        return tot
+
+    return cksum
+
+
+def time_step(step, state, batch, scalars, iters: int):
+    """Per-step seconds via a 2-point fit: run N and 2N chained steps, each
+    ended by a host fetch of a full-state checksum; the difference cancels
+    the constant sync/roundtrip cost.  Returns (sec_per_step, final_state)."""
+    import jax
+
+    cksum = _make_checksum()
+
+    # warmup / compile
+    st = state
+    for _ in range(3):
+        st, metrics = step(st, batch, scalars)
+    float(jax.device_get(cksum((st, metrics))))
+
+    def timed(n, st):
+        tic = time.perf_counter()
+        for _ in range(n):
+            st, metrics = step(st, batch, scalars)
+        float(jax.device_get(cksum((st, metrics))))
+        return time.perf_counter() - tic, st
+
+    t1, st = timed(iters, st)
+    t2, st = timed(2 * iters, st)
+    sec = max((t2 - t1) / iters, 1e-9)
+    # If the 2-point fit is degenerate (host noise made t2 < t1), fall back
+    # to the longer run's amortized time — still fully synced.
+    if t2 <= t1:
+        sec = t2 / (2 * iters)
+    return sec, st
+
+
+def bench_jax(model: str, iters: int = 30, use_pallas: bool = False,
+              batch: int = 0) -> dict:
+    import jax
+
+    from smsut_tpu.config import Config
+
+    cfg = Config(use_pallas=use_pallas)
+    algo, state, batch_d, scalars = make_algo(model, cfg, batch)
+    bs = batch or cfg.batch_size
+    flops = step_flops(algo, state, batch_d, scalars)
+
+    sec, _ = time_step(algo.train_step, state, batch_d, scalars, iters)
+    peak, kind = chip_peak()
+    tflops = flops / sec / 1e12
+    mfu = (flops / sec / peak) if peak else 0.0
+    return {
+        "slices_per_sec": bs / sec,
+        "ms_per_step": sec * 1e3,
+        "flops_per_step": flops,
+        "tflops_per_sec": tflops,
+        "mfu": mfu,
+        "device": kind,
+        "suspect": bool(peak and mfu > 1.0),
+    }
+
+
+def bench_jax_scan(model: str, iters: int = 50, use_pallas: bool = False,
+                   batch: int = 0) -> dict:
+    """Device-only cross-check: `iters` steps chained with lax.scan inside a
+    single jit — one dispatch, zero per-step host involvement."""
+    import jax
+
+    from smsut_tpu.config import Config
+
+    cfg = Config(use_pallas=use_pallas)
+    algo, state, batch_d, scalars = make_algo(model, cfg, batch)
+    bs = batch or cfg.batch_size
+    flops = step_flops(algo, state, batch_d, scalars)
 
     @jax.jit
     def run(state):
         def body(s, _):
-            s2, m = algo._train_step_impl(s, batch, scalars)
+            s2, m = algo._train_step_impl(s, batch_d, scalars)
             return s2, m["loss"]
 
         return jax.lax.scan(body, state, None, length=iters)
 
-    state, losses = run(state)          # compile + warm
-    jax.block_until_ready(losses)
+    cksum = _make_checksum()
+    st, losses = run(state)            # compile + warm
+    float(jax.device_get(cksum((st, losses))))
     tic = time.perf_counter()
-    state, losses = run(state)
-    jax.block_until_ready(losses)
-    dt = time.perf_counter() - tic
-    return iters * cfg.batch_size / dt
-
-
-def bench_jax(model: str, iters: int = 30, warmup: int = 3,
-              use_pallas: bool = False, batch: int = 0) -> float:
-    import jax
-    import jax.numpy as jnp
-
-    from smsut_tpu.config import Config
-
-    cfg = Config(use_pallas=use_pallas)
-    if batch:
-        cfg = cfg.replace(batch_size=batch)
-    rng = np.random.default_rng(0)
-    img = jnp.asarray(rng.normal(size=(cfg.batch_size, cfg.input_size,
-                                       cfg.input_size, 1)).astype(np.float32))
-    msk = jnp.asarray(rng.integers(0, cfg.n_class,
-                                   size=(cfg.batch_size, cfg.input_size,
-                                         cfg.input_size)).astype(np.int32))
-
-    if model == "unet":
-        from smsut_tpu.train.steps.supervised import SupervisedUNet
-
-        algo = SupervisedUNet(cfg)
-        state = algo.init_state(jax.random.PRNGKey(0))
-        batch = {"img": img, "msk": msk}
-        scalars = {}
-
-        def step(state):
-            return algo.train_step(state, batch, scalars)
-    elif model == "uganConsis":
-        # full SMSUT iteration at reference scale: 16-image concat batch,
-        # D step + WGAN-GP + G triple forward + PatchNCE
-        from smsut_tpu.train.steps.gan import UGANConsisAlgo
-
-        algo = UGANConsisAlgo(cfg)
-        state = algo.init_state(jax.random.PRNGKey(0))
-        mdl = jnp.zeros((cfg.batch_size,), jnp.int32)
-        batch = {"img": img, "msk": msk, "mdl": mdl,
-                 "ul_img": img, "ul_mdl": mdl}
-        scalars = dict(algo.epoch_scalars(1), rng=jax.random.PRNGKey(1))
-
-        def step(state):
-            return algo.train_step(state, batch, scalars)
-    else:
-        raise SystemExit(f"unknown model {model}")
-
-    # warmup/compile
-    for _ in range(warmup):
-        state, metrics = step(state)
-    jax.block_until_ready(metrics["loss"])
-    tic = time.perf_counter()
-    for _ in range(iters):
-        state, metrics = step(state)
-    jax.block_until_ready(metrics["loss"])
-    dt = time.perf_counter() - tic
-    return iters * cfg.batch_size / dt
+    st, losses = run(st)
+    float(jax.device_get(cksum((st, losses))))
+    sec = (time.perf_counter() - tic) / iters
+    peak, kind = chip_peak()
+    mfu = (flops / sec / peak) if peak else 0.0
+    return {
+        "slices_per_sec": bs / sec,
+        "ms_per_step": sec * 1e3,
+        "flops_per_step": flops,
+        "tflops_per_sec": flops / sec / 1e12,
+        "mfu": mfu,
+        "device": kind,
+        "suspect": bool(peak and mfu > 1.0),
+    }
 
 
 def bench_torch_cpu(iters: int = 2, warmup: int = 1) -> float:
@@ -217,16 +341,18 @@ def bench_torch_cpu(iters: int = 2, warmup: int = 1) -> float:
     return iters * 8 / dt
 
 
-def bench_pipeline(device_augment: bool, iters: int = 30) -> float:
-    """Full input pipeline + train step on synthetic 256^2 data: loader ->
-    augmentation (host or fused on-device warp) -> jitted supervised step."""
+def bench_pipeline(device_augment: bool, iters: int = 30) -> dict:
+    """Full input pipeline + train step on synthetic 256^2 data, mirroring
+    the production loop (`train/loop.py fit`): persistent producer thread,
+    producer-side augment-param sampling and device staging
+    (cfg.prefetch_device), fused augment+step dispatch."""
     import random
     import tempfile
 
     import jax
 
     from smsut_tpu.config import Config
-    from smsut_tpu.data.dataset import get_loader
+    from smsut_tpu.data.dataset import Batch, get_loader
     from smsut_tpu.data.synthetic import make_synthetic_dataset
     from smsut_tpu.train.steps.supervised import SupervisedUNet
 
@@ -239,49 +365,78 @@ def bench_pipeline(device_augment: bool, iters: int = 30) -> float:
     rng = random.Random(0)
     loader = get_loader(root, "train", 0, cfg.batch_size, cfg.data_aug, cfg=cfg,
                         rng=rng, raw=device_augment)
-    dev_aug = None
+    fused = None
     if device_augment:
         from smsut_tpu.data.device_augment import DeviceAugment
-
-        dev_aug = DeviceAugment(cfg, rng)
-
-    def batches():
-        while True:
-            for b in loader:
-                yield b
-
-    it = batches()
-
-    fused = None
-    if dev_aug is not None:
         from smsut_tpu.train.loop import make_fused_step
 
-        fused = make_fused_step(algo, dev_aug)
-    key = np.zeros(2, np.uint32)
+        da = DeviceAugment(cfg, random.Random(1))
+        stage = bool(cfg.prefetch_device)
 
-    def one(b):
-        if fused is not None:
+        def post(b):
             h, w = b.img.shape[1:3]
-            params = dev_aug.sample_params(b.img.shape[0], h, w)
-            return fused(state_holder[0], b.img, b.msk, b.mdl, params, {},
-                         {"rng": key})
-        return algo.train_step(state_holder[0], {"img": b.img, "msk": b.msk,
-                                                 "mdl": b.mdl}, {"rng": key})
+            params = da.sample_params(b.batch_size, h, w)
+            if stage:
+                b = Batch(jax.device_put(b.img), jax.device_put(b.msk),
+                          b.mdl, b.names)
+                params = jax.device_put(params)
+            return (b, params)
 
+        loader.post = post
+        fused = make_fused_step(algo, da)
+
+    it = loader.iter_cycle()
+    scalars = {"rng": np.zeros(2, np.uint32)}
+    extra: dict = {}
+
+    def one():
+        if fused is not None:
+            b, params = next(it)
+            return fused(state_holder[0], b.img, b.msk, b.mdl, params,
+                         extra, scalars)
+        b = next(it)
+        return algo.train_step(state_holder[0], {"img": b.img, "msk": b.msk,
+                                                 "mdl": b.mdl}, scalars)
+
+    cksum = _make_checksum()
     state_holder = [state]
     for _ in range(3):
-        state_holder[0], m = one(next(it))
-    jax.block_until_ready(m["loss"])
+        state_holder[0], m = one()
+    float(jax.device_get(cksum((state_holder[0], m))))
     tic = time.perf_counter()
     for _ in range(iters):
-        state_holder[0], m = one(next(it))
-    jax.block_until_ready(m["loss"])
-    return iters * cfg.batch_size / (time.perf_counter() - tic)
+        state_holder[0], m = one()
+    float(jax.device_get(cksum((state_holder[0], m))))
+    sec = (time.perf_counter() - tic) / iters
+    peak, kind = chip_peak()
+    # bare-step cost for MFU context (the augment warp's flops are not
+    # included, so the pipeline MFU is a slight lower bound)
+    _, fstate, fbatch, fscalars = make_algo("unet", cfg)
+    sflops = step_flops(algo, fstate, fbatch, fscalars)
+    mfu = (sflops / sec / peak) if peak and sflops else 0.0
+    return {"slices_per_sec": cfg.batch_size / sec, "ms_per_step": sec * 1e3,
+            "flops_per_step": sflops, "tflops_per_sec": sflops / sec / 1e12,
+            "mfu": mfu, "device": kind, "suspect": bool(peak and mfu > 1.0)}
+
+
+def _emit(metric: str, res: dict, vs_baseline: float = 0.0):
+    print(json.dumps({
+        "metric": metric,
+        "value": round(res["slices_per_sec"], 2),
+        "unit": "slices/s",
+        "vs_baseline": round(vs_baseline, 2),
+        "ms_per_step": round(res["ms_per_step"], 3),
+        "flops_per_step": round(res["flops_per_step"]),
+        "tflops_per_sec": round(res["tflops_per_sec"], 2),
+        "mfu": round(res["mfu"], 4),
+        "device": res["device"],
+        "suspect": res["suspect"],
+    }))
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", default="unet")
+    ap.add_argument("--model", default="unet", help=f"one of {ALL_MODELS}")
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--skip-baseline", action="store_true")
     ap.add_argument("--pallas", action="store_true",
@@ -292,23 +447,35 @@ def main():
                     help="chain steps with lax.scan (device-only throughput)")
     ap.add_argument("--batch", type=int, default=0,
                     help="override batch size (0 = reference batch 8)")
+    ap.add_argument("--all", action="store_true",
+                    help="bench every algorithm, one JSON line each")
     args = ap.parse_args()
 
+    try:  # persistent compile cache (TPU compiles through the tunnel are slow)
+        from smsut_tpu.train.cli import enable_compilation_cache
+
+        enable_compilation_cache()
+    except Exception:
+        pass
+
+    if args.all:
+        for model in ALL_MODELS:
+            res = bench_jax(model, args.iters, use_pallas=args.pallas,
+                            batch=args.batch)
+            _emit(f"{model}_train_slices_per_sec_per_chip", res)
+        return
+
     if args.scan:
-        v = bench_jax_scan(args.model, args.iters, args.pallas)
-        print(json.dumps({
-            "metric": f"{args.model}_train_slices_per_sec_per_chip_scan",
-            "value": round(v, 2), "unit": "slices/s", "vs_baseline": 0.0}))
+        res = bench_jax_scan(args.model, args.iters, args.pallas, args.batch)
+        _emit(f"{args.model}_train_slices_per_sec_per_chip_scan", res)
         return
 
     if args.pipeline:
-        v = bench_pipeline(args.pipeline == "device", args.iters)
-        print(json.dumps({
-            "metric": f"pipeline_{args.pipeline}_aug_slices_per_sec_per_chip",
-            "value": round(v, 2), "unit": "slices/s", "vs_baseline": 0.0}))
+        res = bench_pipeline(args.pipeline == "device", args.iters)
+        _emit(f"pipeline_{args.pipeline}_aug_slices_per_sec_per_chip", res)
         return
 
-    tpu = bench_jax(args.model, args.iters, use_pallas=args.pallas,
+    res = bench_jax(args.model, args.iters, use_pallas=args.pallas,
                     batch=args.batch)
     baseline = 0.0
     if not args.skip_baseline:
@@ -316,13 +483,8 @@ def main():
             baseline = bench_torch_cpu()
         except Exception:
             baseline = 0.0
-    vs = tpu / baseline if baseline > 0 else 0.0
-    print(json.dumps({
-        "metric": f"{args.model}_train_slices_per_sec_per_chip",
-        "value": round(tpu, 2),
-        "unit": "slices/s",
-        "vs_baseline": round(vs, 2),
-    }))
+    vs = res["slices_per_sec"] / baseline if baseline > 0 else 0.0
+    _emit(f"{args.model}_train_slices_per_sec_per_chip", res, vs)
 
 
 if __name__ == "__main__":

@@ -112,6 +112,11 @@ class Config:
     device_augment: bool = True
     # write a jax.profiler trace of one training epoch to this directory.
     profile_dir: str = ""
+    # stage train batches onto the device from the loader's producer thread
+    # (double-buffered device_put): the H2D transfer of batch i+1 overlaps
+    # the compute of batch i, so the train loop is dispatch-bound rather
+    # than transfer-bound.  Host-side modality ids stay on the host.
+    prefetch_device: bool = True
     # rematerialize GAN generator forwards (jax.checkpoint): trades FLOPs
     # for HBM, enabling larger batches.
     remat: bool = False

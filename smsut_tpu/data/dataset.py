@@ -31,6 +31,7 @@ from smsut_tpu.data.samplers import (
     InTurnTestBatchSampler,
     InTurnTrainBatchSampler,
     ModalityBalanceBatchSampler,
+    ShardedBatchSampler,
 )
 from smsut_tpu.utils.io import read_yaml
 
@@ -228,10 +229,17 @@ class BatchLoader:
 def get_loader(data_root: str, phase: str, fold: int, batch_size: int,
                data_aug: Optional[Dict] = None, load_in_ram: bool = True,
                cfg: Optional[Config] = None, loader_type: str = "inTurn",
-               rng: Optional[random.Random] = None, raw: bool = False) -> BatchLoader:
+               rng: Optional[random.Random] = None, raw: bool = False,
+               num_shards: Optional[int] = None,
+               shard_id: Optional[int] = None) -> BatchLoader:
     """Reference `inTurnLoader.get_loader` equivalent
     (`inTurnLoader.py:83-97`); ``loader_type='balance'`` selects the
-    modality-balanced sampler (`balanceLoader.py:112-125`)."""
+    modality-balanced sampler (`balanceLoader.py:112-125`).
+
+    Multi-host: train/val samplers are partitioned so each process decodes
+    only its contiguous slice of every global batch (``num_shards``/
+    ``shard_id`` default to the ``jax.distributed`` process layout; test
+    loaders stay global — eval is replicated across hosts)."""
     cfg = cfg or Config()
     rng = rng or random.Random()
     dataset = SliceDataset(data_root, phase, fold, load_in_ram, cfg.split_yaml)
@@ -245,6 +253,13 @@ def get_loader(data_root: str, phase: str, fold: int, batch_size: int,
                                                   batch_size, rng=rng)
         else:
             raise NotImplementedError(loader_type)
+        if num_shards is None:
+            from smsut_tpu.parallel import distributed
+
+            num_shards = distributed.process_count()
+            shard_id = distributed.process_index()
+        if num_shards > 1:
+            sampler = ShardedBatchSampler(sampler, num_shards, shard_id or 0)
     else:
         augment = None
         sampler = InTurnTestBatchSampler(dataset.modal_sample_ids, batch_size)

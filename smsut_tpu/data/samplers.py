@@ -75,6 +75,31 @@ class InTurnTestBatchSampler:
         return self.n
 
 
+class ShardedBatchSampler:
+    """Multi-host data parallelism: wraps any batch sampler and keeps this
+    process's contiguous slice of every global batch (rows
+    ``[shard_id*B/P, (shard_id+1)*B/P)``), matching
+    ``parallel.distributed.local_batch_slice``.  Every host runs the same
+    seeded base sampler, so the union of shards is exactly the reference's
+    single-host batch stream (no reference analogue — SURVEY §2.7)."""
+
+    def __init__(self, base, num_shards: int, shard_id: int):
+        assert 0 <= shard_id < num_shards
+        self.base = base
+        self.num_shards = num_shards
+        self.shard_id = shard_id
+
+    def __iter__(self) -> Iterator[List[int]]:
+        for idxs in self.base:
+            per = len(idxs) // self.num_shards
+            if per == 0:
+                continue  # partial global batch smaller than the shard count
+            yield idxs[self.shard_id * per: (self.shard_id + 1) * per]
+
+    def __len__(self) -> int:
+        return len(self.base)
+
+
 class ModalityBalanceBatchSampler:
     """Mixed-modality batches: batch_size/n_modal samples of each modality
     (`balanceLoader.py:80-109`)."""

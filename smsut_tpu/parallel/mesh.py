@@ -74,8 +74,22 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(mesh: Mesh, tree: Any) -> Any:
     """device_put a host batch pytree with the batch dim sharded over 'data'.
-    Leading dims must divide the mesh size (eval pads batches, so they do)."""
+    Leading dims must divide the mesh size (eval pads batches, so they do).
+
+    Multi-host: the tree holds this process's *local* slice (the loaders are
+    wrapped in ``ShardedBatchSampler``); the slices are assembled into global
+    arrays with ``jax.make_array_from_process_local_data``."""
     sh = batch_sharding(mesh)
+
+    if jax.process_count() > 1:
+        nproc = jax.process_count()
+
+        def put_local(x):
+            x = np.asarray(x)
+            gshape = (x.shape[0] * nproc,) + x.shape[1:]
+            return jax.make_array_from_process_local_data(sh, x, gshape)
+
+        return jax.tree_util.tree_map(put_local, tree)
 
     def put(x):
         return jax.device_put(x, sh)
@@ -84,5 +98,15 @@ def shard_batch(mesh: Mesh, tree: Any) -> Any:
 
 
 def replicate(mesh: Mesh, tree: Any) -> Any:
+    """Replicate a pytree over the whole mesh.  Multi-host: every process
+    holds the same host value (same seeds/IO), so a callback-built global
+    array is valid; single-host keeps the plain device_put fast path."""
     sh = replicated(mesh)
+    if jax.process_count() > 1:
+        def put_local(x):
+            x = np.asarray(x)
+            return jax.make_array_from_callback(x.shape, sh,
+                                                lambda idx: x[idx])
+
+        return jax.tree_util.tree_map(put_local, tree)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)

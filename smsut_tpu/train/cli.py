@@ -81,6 +81,17 @@ def run_main(algo_factory, args=None) -> None:
 
     random.seed(cfg.seed)
     np.random.seed(cfg.seed)
+
+    # multi-host first: jax.distributed.initialize must precede backend
+    # creation (env-driven; a no-op on single-host runs)
+    from smsut_tpu.parallel import distributed
+
+    if distributed.initialize():
+        import jax
+
+        print(f"[distributed] process {jax.process_index()}/"
+              f"{jax.process_count()}, {jax.local_device_count()} local / "
+              f"{jax.device_count()} global devices")
     enable_compilation_cache()
 
     from smsut_tpu.train.loop import Trainer

@@ -22,7 +22,10 @@ except Exception:  # pragma: no cover
 
 class Experiment:
     def __init__(self, expr_root: str, expr_name: str, phase: str = "train",
-                 snapshot_src: Optional[str] = None):
+                 snapshot_src: Optional[str] = None, spectator: bool = False):
+        """``spectator=True`` (non-primary hosts of a multi-process run):
+        no directories, no logger, no TensorBoard — host 0 owns all
+        artifacts; info() falls back to stdout."""
         maybe_mkdir(expr_root)
         self.expr_root = pjoin(expr_root, expr_name)
         self.phase = phase
@@ -30,7 +33,9 @@ class Experiment:
         self.writer = None
         self.logger: Optional[logging.Logger] = None
         self.model_root = None
-        if phase == "train":
+        self.ckpt_root = self.result_root = self.sample_root = None
+        self.spectator = spectator
+        if phase == "train" and not spectator:
             self._init_train_env(snapshot_src)
 
     def _init_train_env(self, snapshot_src: Optional[str]) -> None:
@@ -72,6 +77,8 @@ class Experiment:
 
     def register_experiment_args(self, args, filename: str = "expriments.log") -> None:
         # (sic) filename kept for parity (`baseTrainer.py:74-79`)
+        if self.spectator:
+            return
         with open(pjoin(os.path.dirname(self.expr_root), filename), "a") as f:
             f.write(f"{os.path.basename(self.expr_root)}, {self.model_root}\n")
             f.write(str(args) + "\n\n")

@@ -83,7 +83,12 @@ class Trainer:
         if args is not None and getattr(args, "expr_name", None):
             expr_name = args.expr_name
         self.expr_name = expr_name or algo.__class__.__name__
-        self.exp = experiment or Experiment(cfg.expr_root, self.expr_name, phase)
+        # multi-host: host 0 owns logs/checkpoints/TB; other hosts run the
+        # same compute as spectators (jax collectives need every process)
+        self._mp = jax.process_count() > 1
+        self._primary = jax.process_index() == 0
+        self.exp = experiment or Experiment(cfg.expr_root, self.expr_name, phase,
+                                            spectator=not self._primary)
         self.mesh = (make_mesh(cfg.data_parallel, batch_size=cfg.batch_size)
                      if use_mesh else None)
         self.epoch = 0
@@ -165,11 +170,24 @@ class Trainer:
 
             da_lb = _DA(cfg, pyrandom.Random(cfg.seed + 101))
             da_ul = _DA(cfg, pyrandom.Random(cfg.seed + 202))
+            # stage batches on-device from the producer thread so the H2D
+            # transfer of batch i+1 overlaps the compute of batch i (the
+            # round-1 pipeline was ~2x slower than the bare step; transfers
+            # were on the critical path).  mdl stays host-side — the train
+            # loop reads int(mdl[0]) per iteration for metering, which must
+            # not become a blocking device fetch.  Multi-host keeps host
+            # arrays (shard_batch assembles global arrays itself).
+            stage = bool(cfg.prefetch_device) and not self._mp
 
             def _attach(da):
                 def post(b):
                     h, w = b.img.shape[1:3]
-                    return (b, da.sample_params(b.batch_size, h, w))
+                    params = da.sample_params(b.batch_size, h, w)
+                    if stage:
+                        b = Batch(jax.device_put(b.img), jax.device_put(b.msk),
+                                  b.mdl, b.names)
+                        params = jax.device_put(params)
+                    return (b, params)
 
                 return post
 
@@ -332,6 +350,13 @@ class Trainer:
                     args += [ul.img, ul.msk, ul.mdl, ul_params]
                 if timing:
                     _t3 = time.perf_counter()
+                if self._mp:
+                    # assemble the per-host slices into global arrays;
+                    # epoch scalars ride along replicated
+                    args = shard_batch(self.mesh, args)
+                    if extra:
+                        extra = shard_batch(self.mesh, extra)
+                    scalars = replicate(self.mesh, dict(scalars))
                 self.state, metrics = self._fused_step(self.state, *args,
                                                        extra, scalars)
                 if timing:
@@ -345,8 +370,10 @@ class Trainer:
                     batch["ul_mdl"] = ul.mdl
                 batch.update(extra)
                 batch = self._put(batch)
+                sc = (replicate(self.mesh, dict(scalars)) if self._mp
+                      else scalars)
                 self.state, metrics = self.algo.train_step(self.state, batch,
-                                                           scalars)
+                                                           sc)
             pending.append((metrics, m, lb.batch_size))
             if log_step and (i + 1) % log_step == 0:
                 last = {k: float(v) for k, v in pending[-1][0].items()}
@@ -396,7 +423,10 @@ class Trainer:
                 msk = np.concatenate([msk, np.zeros((pad,) + msk.shape[1:],
                                                     msk.dtype)])
             assert len(np.unique(batch.mdl)) == 1
-            dev = self._put({"img": img, "msk": msk})
+            # multi-host: eval is replicated (test loaders are global — every
+            # host computes the full eval; host 0 logs it)
+            dev = (replicate(self.mesh, {"img": img, "msk": msk}) if self._mp
+                   else self._put({"img": img, "msk": msk}))
             loss, pred = self._eval_step(params, dev["img"], dev["msk"])
             pending.append((loss, pred, batch))
         for loss, pred, batch in pending:
@@ -436,6 +466,8 @@ class Trainer:
 
     # ------------------------------------------------------------ checkpoint
     def save_model(self, prefix: str) -> None:
+        if not self._primary:
+            return  # host 0 owns checkpoints (state is replicated)
         path = checkpoints.save_state(self.state, self.exp.ckpt_root, prefix)
         self.info(f"Save model to {path}.")
 
