@@ -1,0 +1,251 @@
+# -*- coding: utf-8 -*-
+"""Space-to-depth packed execution of the network stem (level 0).
+
+Why: at base_width 16 the level-0 tensors are [B,256,256,8..32] — on TPU the
+channel (lane) dimension is padded to 128, so every HBM pass over these
+activations moves 4-16x more bytes than the data contains.  Profiling the
+supervised step shows level-0 convs, norm statistics, weight gradients and
+activation masks dominating the whole iteration.
+
+Fix: run level 0 on the 2x2 space-to-depth grid — [B,128,128,4C] with packed
+channel layout ``s*C + c`` (s = subpixel dy*2+dx) — where the lanes are 4x
+fuller and the spatial iteration space is 4x smaller.  Every op is the SAME
+arithmetic as its unpacked counterpart, term for term:
+
+  * a SAME conv (odd k) becomes a 3-tap packed conv whose [3,3,4Cin,4Cout]
+    kernel is built on the fly from the ORIGINAL [k,k,Cin,Cout] parameter
+    (structured zeros elsewhere) — parameters keep their reference shapes
+    and names, so checkpoints are interchangeable with the unpacked model;
+  * InstanceNorm statistics per original channel reduce over (H', W', s);
+  * MaxPool 2x2/2 is a max over the 4 subpixels of each packed pixel (and
+    lands exactly on the unpacked level-1 grid);
+  * ConvTranspose 2x2/2 degenerates to a 1x1 matmul producing all 4
+    subpixels of the packed output.
+
+The reference has no analogue (torch CUDA handles small channel counts
+natively — `/root/reference/network/blocks.py:53-80` runs level 0 as-is);
+this is a TPU-layout optimization with identical numerics, validated by
+tests/test_packed.py (packed vs unpacked forward/grad equivalence).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from smsut_tpu.models.layers import get_act, kaiming_normal_fan_out
+
+Dtype = Any
+
+
+# --------------------------------------------------------------- reshapes
+def space_to_depth(x: jax.Array) -> jax.Array:
+    """[B, 2H, 2W, C] -> [B, H, W, 4C], packed channel = (dy*2+dx)*C + c."""
+    b, h2, w2, c = x.shape
+    x = x.reshape(b, h2 // 2, 2, w2 // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)            # [B, H, W, dy, dx, C]
+    return x.reshape(b, h2 // 2, w2 // 2, 4 * c)
+
+
+def depth_to_space(x: jax.Array, c: int) -> jax.Array:
+    """Inverse of :func:`space_to_depth`."""
+    b, h, w, _ = x.shape
+    x = x.reshape(b, h, w, 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)            # [B, H, dy, W, dx, C]
+    return x.reshape(b, 2 * h, 2 * w, c)
+
+
+# ------------------------------------------------------------ packed conv
+def pack_kernel(w: jax.Array, in_segments: Sequence[int]) -> jax.Array:
+    """Build the packed conv kernel from an original SAME kernel.
+
+    ``w``: [k, k, Cin, Cout] with odd k.  ``in_segments``: channel counts of
+    the (concatenated) packed inputs; each segment is laid out ``s*Cseg + c``
+    and segments follow each other (sum(in_segments) == Cin).
+
+    Output-subpixel (dy,dx) of packed pixel (i,j) is original pixel
+    (2i+dy, 2j+dx); its tap (u,v) reads original row 2i+dy-k//2+u, which is
+    packed row i + (dy-k//2+u)//2, subpixel (dy-k//2+u) % 2 — always within
+    a 3-tap packed window for k in {1,3,5}.
+    """
+    k, _, cin, cout = w.shape
+    assert k % 2 == 1, "packed conv only defined for odd kernels"
+    assert sum(in_segments) == cin, (in_segments, cin)
+    pad = k // 2
+    offs = sorted({(d - pad + u) // 2 for d in (0, 1) for u in range(k)})
+    kp = offs[-1] - offs[0] + 1
+    assert kp <= 3, kp
+
+    seg_off = []          # packed channel offset of each segment
+    off = 0
+    for cseg in in_segments:
+        seg_off.append(off)
+        off += 4 * cseg
+    cin_p = off
+
+    wp = jnp.zeros((kp, kp, cin_p, 4 * cout), w.dtype)
+    for dy in (0, 1):
+        for dx in (0, 1):
+            out0 = (dy * 2 + dx) * cout
+            for u in range(k):
+                ty, ay = divmod(dy - pad + u, 2)
+                ku = ty - offs[0]
+                for v in range(k):
+                    tx, ax = divmod(dx - pad + v, 2)
+                    kv = tx - offs[0]
+                    s_in = ay * 2 + ax
+                    cbase = 0
+                    for cseg, soff in zip(in_segments, seg_off):
+                        wp = wp.at[ku, kv,
+                                   soff + s_in * cseg: soff + (s_in + 1) * cseg,
+                                   out0: out0 + cout].set(
+                            w[u, v, cbase: cbase + cseg, :])
+                        cbase += cseg
+    return wp
+
+
+def packed_conv_apply(x: jax.Array, w: jax.Array,
+                      in_segments: Sequence[int], dtype: Dtype) -> jax.Array:
+    """Packed-space equivalent of the original SAME conv with kernel ``w``."""
+    wp = pack_kernel(w, in_segments).astype(dtype)
+    kp = wp.shape[0]
+    pad = [(kp // 2, kp // 2)] * 2 if kp > 1 else [(0, 0)] * 2
+    return jax.lax.conv_general_dilated(
+        x.astype(dtype), wp, (1, 1), pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+class PackedConv(nn.Module):
+    """Owns the ORIGINAL-shape kernel parameter (name 'kernel', like
+    nn.Conv) but runs in packed space."""
+
+    features: int
+    kernel: int
+    in_segments: Tuple[int, ...]
+    act_type: str = "lrelu"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cin = sum(self.in_segments)
+        w = self.param("kernel", kaiming_normal_fan_out(self.act_type),
+                       (self.kernel, self.kernel, cin, self.features),
+                       jnp.float32)
+        return packed_conv_apply(x, w, self.in_segments, self.dtype)
+
+
+# ------------------------------------------------------------ packed norm
+def _tile_c(v: jax.Array) -> jax.Array:
+    """[...,C] -> [...,4C] matching the s*C+c packed layout."""
+    return jnp.tile(v, 4) if v.ndim == 1 else jnp.tile(v, (1, 4))
+
+
+class PackedNormAct(nn.Module):
+    """InstanceNorm(affine) + optional activation over packed activations:
+    statistics per original channel reduce over (H', W', subpixel) — the
+    same sums as the unpacked norm over (H, W)."""
+
+    norm_type: str = "instance"
+    act_type: Optional[str] = None
+    channels: int = 0                  # original channel count C
+    dtype: Dtype = jnp.float32
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        assert self.norm_type == "instance", self.norm_type
+        c = self.channels
+        assert x.shape[-1] == 4 * c, (x.shape, c)
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+
+        b, h, w, _ = x.shape
+        xf = x.astype(jnp.float32)
+        s1 = jnp.sum(xf, axis=(1, 2)).reshape(b, 4, c).sum(axis=1)      # [B,C]
+        s2 = jnp.sum(jnp.square(xf), axis=(1, 2)).reshape(b, 4, c).sum(axis=1)
+        n = h * w * 4
+        mean = s1 / n
+        var = s2 / n - jnp.square(mean)
+        rstd = jax.lax.rsqrt(var + self.epsilon)
+        g = _tile_c(rstd * scale)[:, None, None, :]                     # [B,1,1,4C]
+        b_ = _tile_c(bias - mean * rstd * scale)[:, None, None, :]
+        y = (xf * g + b_).astype(self.dtype)
+        return get_act(self.act_type)(y) if self.act_type else y
+
+
+# ------------------------------------------------------------ pool / up
+def packed_max_pool_to_unpacked(x: jax.Array, c: int) -> jax.Array:
+    """MaxPool 2x2 stride 2 of the unpacked tensor == max over the 4
+    subpixels: [B,H,W,4C] -> [B,H,W,C] (exactly the unpacked level-1 grid)."""
+    m = x[..., :c]
+    for s in range(1, 4):
+        m = jnp.maximum(m, x[..., s * c: (s + 1) * c])
+    return m
+
+
+class _Kernel(nn.Module):
+    """Bare kernel parameter holder (used to mirror a nested module's
+    parameter path, e.g. up1/up/kernel of nn.ConvTranspose)."""
+
+    shape: Tuple[int, ...]
+    init: Callable
+
+    @nn.compact
+    def __call__(self) -> jax.Array:
+        return self.param("kernel", self.init, self.shape, jnp.float32)
+
+
+class PackedUpConcat(nn.Module):
+    """ConvTranspose(2,2)/2 into packed space + concat with the packed skip.
+    y_orig[2i+dy, 2j+dx, co] = sum_ci wT[dy, dx, ci, co] * x[i, j, ci] — a
+    1x1 contraction producing all four subpixels at once.  Parameter path
+    matches UpSampleAndConcat's nn.ConvTranspose ('<name>/up/kernel')."""
+
+    features: int
+    act_type: str = "lrelu"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, skip_packed: jax.Array) -> jax.Array:
+        cin = x.shape[-1]
+        w = _Kernel((2, 2, cin, self.features),
+                    kaiming_normal_fan_out(self.act_type), name="up")()
+        # flax ConvTranspose convolves with the spatially *flipped* kernel
+        # (lax.conv_transpose transpose_kernel=False); flip to match
+        wm = w[::-1, ::-1].transpose(2, 0, 1, 3).reshape(cin, 4 * self.features)
+        y = jnp.einsum("bhwi,io->bhwo", x.astype(self.dtype),
+                       wm.astype(self.dtype))
+        return jnp.concatenate([y, skip_packed.astype(y.dtype)], axis=-1)
+
+
+class PackedBasicBlock(nn.Module):
+    """BasicBlock in packed space — same parameters/structure as BasicBlock
+    (`models/blocks.py:32-53`); ``in_segments`` describes the packed layout
+    of the (possibly concatenated) input channels."""
+
+    features: int
+    in_segments: Tuple[int, ...]
+    norm_type: str = "instance"
+    act_type: str = "lrelu"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        act = get_act(self.act_type)
+        f = self.features
+        identity = x
+        y = PackedConv(f, 3, tuple(self.in_segments), self.act_type,
+                       self.dtype, name="conv1")(x)
+        y = PackedNormAct(self.norm_type, self.act_type, f, self.dtype,
+                          name="bn1")(y)
+        y = PackedConv(f, 3, (f,), self.act_type, self.dtype, name="conv2")(y)
+        y = PackedNormAct(self.norm_type, None, f, self.dtype, name="bn2")(y)
+        if sum(self.in_segments) != f:
+            identity = PackedConv(f, 1, tuple(self.in_segments),
+                                  self.act_type, self.dtype,
+                                  name="shortcut1")(identity)
+            identity = PackedNormAct(self.norm_type, None, f, self.dtype,
+                                     name="shortcut2")(identity)
+        return act(y + identity)

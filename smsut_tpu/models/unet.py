@@ -24,12 +24,16 @@ class UNet(nn.Module):
     norm_type: str = "batch"
     act_type: str = "relu"
     dtype: Dtype = jnp.float32
+    # run level 0 space-to-depth packed (identical math, TPU lane-friendly;
+    # models/packed.py).  Requires even H/W and instance norm.
+    pack_stem: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         x = x.astype(self.dtype)
+        pack = self.pack_stem and self.norm_type == "instance"
         h, skips = Encoder(self.width, self.norm_type, self.act_type, self.dtype,
-                           name="encoder")(x)
+                           pack_stem=pack, name="encoder")(x)
         y = Decoder(self.out_ch, self.width, self.norm_type, self.act_type, self.dtype,
-                    name="decoder")(h, skips)
+                    pack_stem=pack, name="decoder")(h, skips)
         return y.astype(jnp.float32)

@@ -1,0 +1,89 @@
+# -*- coding: utf-8 -*-
+"""Space-to-depth packed stem (models/packed.py): the packed model must be
+the SAME function as the unpacked one — same parameter tree, same outputs,
+same gradients — since packing only reorders the summation lattice."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from smsut_tpu.models.packed import depth_to_space, pack_kernel, space_to_depth
+from smsut_tpu.models.unet import UNet
+
+
+def test_space_to_depth_roundtrip(rng):
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 3)).astype(np.float32))
+    assert jnp.allclose(depth_to_space(space_to_depth(x), 3), x)
+
+
+def test_pack_kernel_conv_equivalence(rng):
+    """Packed conv == original SAME conv, for k in {1,3,5}."""
+    for k in (1, 3, 5):
+        x = jnp.asarray(rng.normal(size=(2, 16, 16, 6)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(k, k, 6, 10)).astype(np.float32))
+        ref = jax.lax.conv_general_dilated(
+            x, w, (1, 1), [(k // 2, k // 2)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        wp = pack_kernel(w, (6,))
+        kp = wp.shape[0]
+        got = jax.lax.conv_general_dilated(
+            space_to_depth(x), wp, (1, 1),
+            [(kp // 2, kp // 2)] * 2 if kp > 1 else [(0, 0)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        np.testing.assert_allclose(np.asarray(depth_to_space(got, 10)),
+                                   np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_pack_kernel_concat_segments(rng):
+    """Segmented packing == packing the concatenated input."""
+    x1 = jnp.asarray(rng.normal(size=(1, 8, 8, 4)).astype(np.float32))
+    x2 = jnp.asarray(rng.normal(size=(1, 8, 8, 3)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 7, 5)).astype(np.float32))
+    ref = jax.lax.conv_general_dilated(
+        jnp.concatenate([x1, x2], -1), w, (1, 1), [(1, 1)] * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    xp = jnp.concatenate([space_to_depth(x1), space_to_depth(x2)], -1)
+    got = jax.lax.conv_general_dilated(
+        xp, pack_kernel(w, (4, 3)), (1, 1), [(1, 1)] * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(depth_to_space(got, 5)),
+                               np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+@pytest.fixture
+def unet_pair():
+    kw = dict(out_ch=5, width=8, norm_type="instance", act_type="lrelu",
+              dtype=jnp.float32)
+    return UNet(pack_stem=False, **kw), UNet(pack_stem=True, **kw)
+
+
+def test_unet_packed_same_params_and_forward(unet_pair, rng):
+    plain, packed = unet_pair
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 1)).astype(np.float32))
+    params = plain.init(jax.random.PRNGKey(0), x)["params"]
+    shapes = jax.tree_util.tree_map(jnp.shape, params)
+    params_p = packed.init(jax.random.PRNGKey(0), x)["params"]
+    assert shapes == jax.tree_util.tree_map(jnp.shape, params_p)
+
+    y0 = plain.apply({"params": params}, x)
+    y1 = packed.apply({"params": params}, x)   # SAME params
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_unet_packed_same_gradients(unet_pair, rng):
+    plain, packed = unet_pair
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 1)).astype(np.float32))
+    params = plain.init(jax.random.PRNGKey(0), x)["params"]
+
+    def loss(net, p):
+        return jnp.mean(jnp.square(net.apply({"params": p}, x)))
+
+    g0 = jax.grad(lambda p: loss(plain, p))(params)
+    g1 = jax.grad(lambda p: loss(packed, p))(params)
+    for (k0, l0), (k1, l1) in zip(
+            jax.tree_util.tree_leaves_with_path(g0),
+            jax.tree_util.tree_leaves_with_path(g1)):
+        assert k0 == k1
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l0),
+                                   rtol=2e-3, atol=1e-5, err_msg=str(k0))
