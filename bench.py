@@ -60,11 +60,16 @@ def chip_peak():
     return 0.0, kind  # CPU / unknown: MFU not defined
 
 
+_CFG_OVERRIDES: dict = {}
+
+
 def make_algo(model: str, cfg, batch_override: int = 0):
     """Build (algo, state, batch, scalars) for any algorithm in the zoo."""
     import jax
     import jax.numpy as jnp
 
+    if _CFG_OVERRIDES:
+        cfg = cfg.replace(**_CFG_OVERRIDES)
     if batch_override:
         cfg = cfg.replace(batch_size=batch_override)
     bs, hw = cfg.batch_size, cfg.input_size
@@ -449,7 +454,11 @@ def main():
                     help="override batch size (0 = reference batch 8)")
     ap.add_argument("--all", action="store_true",
                     help="bench every algorithm, one JSON line each")
+    ap.add_argument("--no-pack", action="store_true",
+                    help="disable the space-to-depth packed stem (A/B)")
     args = ap.parse_args()
+    if args.no_pack:
+        _CFG_OVERRIDES["pack_levels"] = 0
 
     try:  # persistent compile cache (TPU compiles through the tunnel are slow)
         from smsut_tpu.train.cli import enable_compilation_cache

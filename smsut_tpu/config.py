@@ -106,10 +106,10 @@ class Config:
     prefetch_depth: int = 2
     # use the fused Pallas instance-norm kernel where available.
     use_pallas: bool = False
-    # run U-Net/UGAN level 0 on the 2x2 space-to-depth grid (identical math,
-    # ~4x fuller TPU lanes on the dominant 256^2 activations; see
-    # models/packed.py and tests/test_packed.py).
-    pack_stem: bool = True
+    # run the first N U-Net/UGAN levels on the 2x2 space-to-depth grid
+    # (identical math, ~4x fuller TPU lanes on the dominant 256^2/128^2
+    # activations; see models/packed.py and tests/test_packed.py).
+    pack_levels: int = 2
     # run joint augmentation on-device as one fused warp (this host has a
     # single CPU; the reference's host augmentation chain costs ~7ms/slice
     # vs a ~0.6ms TPU step).  False selects the strict-parity host pipeline.

@@ -116,22 +116,24 @@ class Encoder(nn.Module):
     """5-level encoder (`network/blocks.py:120-152`): 5x5 stem to w/2, then
     4x(BasicBlock + maxpool) and a bottleneck block; widths w..16w.
 
-    ``pack_stem``: run level 0 on the 2x2 space-to-depth grid (identical
-    math, TPU-friendly lane occupancy — see models/packed.py).  skips[0] is
-    then the PACKED level-0 activation [B,H/2,W/2,4w]; Decoder must be built
-    with the same flag."""
+    ``pack_levels``: run the first N levels (N in {0,1,2}) on the 2x2
+    space-to-depth grid (identical math, TPU-friendly lane occupancy — see
+    models/packed.py).  skips[i] for i < N is then the PACKED activation
+    [B,H/2^(i+1),W/2^(i+1),4*mult*w]; Decoder must be built with the same
+    value."""
 
     width: int = 32
     norm_type: str = "batch"
     act_type: str = "lrelu"
     dtype: Dtype = jnp.float32
-    pack_stem: bool = False
+    pack_levels: int = 0
 
     @nn.compact
     def __call__(self, x: jax.Array) -> Tuple[jax.Array, List[jax.Array]]:
         w = self.width
         skips = []
-        if self.pack_stem:
+        start = 0
+        if self.pack_levels > 0:
             from smsut_tpu.models import packed as pk
 
             cin = x.shape[-1]
@@ -140,16 +142,21 @@ class Encoder(nn.Module):
                               name="pre_conv")(x)
             x = pk.PackedNormAct(self.norm_type, self.act_type, w // 2,
                                  self.dtype, name="pre_bn")(x)
-            x = pk.PackedBasicBlock(w, (w // 2,), self.norm_type,
-                                    self.act_type, self.dtype, name="layer1")(x)
-            skips.append(x)                     # packed [B,H/2,W/2,4w]
-            x = pk.packed_max_pool_to_unpacked(x, w)
-            start = 1
+            prev = w // 2
+            for i, mult in list(enumerate((1, 2, 4, 8)))[:self.pack_levels]:
+                x = pk.PackedBasicBlock(mult * w, (prev,), self.norm_type,
+                                        self.act_type, self.dtype,
+                                        name=f"layer{i + 1}")(x)
+                skips.append(x)             # packed [B,H/2^(i+1),...,4*mult*w]
+                x = pk.packed_max_pool_to_unpacked(x, mult * w)
+                if i + 1 < self.pack_levels:
+                    x = pk.space_to_depth(x)
+                prev = mult * w
+            start = self.pack_levels
         else:
             x = conv(w // 2, 5, act_type=self.act_type, dtype=self.dtype,
                      name="pre_conv")(x)
             x = NormAct(self.norm_type, self.act_type, self.dtype, name="pre_bn")(x)
-            start = 0
 
         for i, mult in list(enumerate((1, 2, 4, 8)))[start:]:
             x = BasicBlock(mult * w, self.norm_type, self.act_type, self.dtype,
@@ -164,34 +171,40 @@ class Decoder(nn.Module):
     """4-level decoder with transposed-conv up+concat and a 1x1 head
     (`network/blocks.py:155-174`).
 
-    ``pack_stem``: the last level runs in packed space against the packed
-    skips[0] from a pack_stem Encoder; the head conv emits packed logits
-    that are depth-to-space'd back to the full grid (identical math)."""
+    ``pack_levels``: the last N levels run in packed space against the
+    packed skips from a pack_levels Encoder; the head conv emits packed
+    logits that are depth-to-space'd back to the full grid (identical
+    math)."""
 
     out_ch: int
     width: int = 32
     norm_type: str = "batch"
     act_type: str = "lrelu"
     dtype: Dtype = jnp.float32
-    pack_stem: bool = False
+    pack_levels: int = 0
 
     @nn.compact
     def __call__(self, x: jax.Array, skips: Sequence[jax.Array]) -> jax.Array:
         w = self.width
-        levels = ((4, 8), (3, 4), (2, 2)) if self.pack_stem else \
-                 ((4, 8), (3, 4), (2, 2), (1, 1))
-        for i, mult in levels:
+        for i, mult in ((4, 8), (3, 4), (2, 2), (1, 1)):
+            if i <= self.pack_levels:
+                break
             x = UpSampleAndConcat(mult * w, transposed=True, act_type=self.act_type,
                                   dtype=self.dtype, name=f"up{i}")(x, skips[i - 1])
             x = BasicBlock(mult * w, self.norm_type, self.act_type, self.dtype,
                            name=f"layer{i}")(x)
-        if self.pack_stem:
+        if self.pack_levels:
             from smsut_tpu.models import packed as pk
 
-            x = pk.PackedUpConcat(w, self.act_type, self.dtype,
-                                  name="up1")(x, skips[0])
-            x = pk.PackedBasicBlock(w, (w, w), self.norm_type, self.act_type,
-                                    self.dtype, name="layer1")(x)
+            for lvl in range(self.pack_levels, 0, -1):
+                mult = (1, 2, 4, 8)[lvl - 1]
+                x = pk.PackedUpConcat(mult * w, self.act_type, self.dtype,
+                                      name=f"up{lvl}")(x, skips[lvl - 1])
+                x = pk.PackedBasicBlock(mult * w, (mult * w, mult * w),
+                                        self.norm_type, self.act_type,
+                                        self.dtype, name=f"layer{lvl}")(x)
+                if lvl > 1:   # next level expects the unpacked finer grid
+                    x = pk.depth_to_space(x, mult * w)
             x = pk.PackedConv(self.out_ch, 1, (w,), self.act_type, self.dtype,
                               name="fc")(x)
             return pk.depth_to_space(x, self.out_ch)

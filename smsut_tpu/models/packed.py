@@ -126,6 +126,7 @@ class PackedConv(nn.Module):
     in_segments: Tuple[int, ...]
     act_type: str = "lrelu"
     dtype: Dtype = jnp.float32
+    use_bias: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -133,7 +134,111 @@ class PackedConv(nn.Module):
         w = self.param("kernel", kaiming_normal_fan_out(self.act_type),
                        (self.kernel, self.kernel, cin, self.features),
                        jnp.float32)
-        return packed_conv_apply(x, w, self.in_segments, self.dtype)
+        y = packed_conv_apply(x, w, self.in_segments, self.dtype)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,),
+                           jnp.float32)
+            y = y + jnp.tile(b, 4).astype(y.dtype)
+        return y
+
+
+def pack_kernel_stride2(w: jax.Array) -> jax.Array:
+    """Stride-2 SAME-ish conv (k=4, pad 1 — the PatchGAN stem) on the packed
+    grid: one output per packed pixel, so the packed conv is stride 1 with an
+    UNPACKED output.  y[i] taps original row 2i-1+u = packed row i+(u-1)//2,
+    subpixel (u-1)%2."""
+    k, _, cin, cout = w.shape
+    assert k == 4, k
+    offs = sorted({(u - 1) // 2 for u in range(k)})
+    kp = offs[-1] - offs[0] + 1
+    wp = jnp.zeros((kp, kp, 4 * cin, cout), w.dtype)
+    for u in range(k):
+        ty, ay = divmod(u - 1, 2)
+        ku = ty - offs[0]
+        for v in range(k):
+            tx, ax = divmod(v - 1, 2)
+            kv = tx - offs[0]
+            s = ay * 2 + ax
+            wp = wp.at[ku, kv, s * cin: (s + 1) * cin, :].set(w[u, v])
+    return wp
+
+
+class PackedStride2Conv(nn.Module):
+    """4x4 stride-2 conv taking the packed input, emitting the unpacked
+    half-resolution output (parameter-compatible with the nn.Conv stem)."""
+
+    features: int
+    act_type: str = "lrelu"
+    dtype: Dtype = jnp.float32
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x_packed: jax.Array) -> jax.Array:
+        cin = x_packed.shape[-1] // 4
+        w = self.param("kernel", kaiming_normal_fan_out(self.act_type),
+                       (4, 4, cin, self.features), jnp.float32)
+        wp = pack_kernel_stride2(w).astype(self.dtype)
+        kp = wp.shape[0]
+        y = jax.lax.conv_general_dilated(
+            x_packed.astype(self.dtype), wp, (1, 1),
+            [(kp // 2, kp // 2)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,),
+                           jnp.float32)
+            y = y + b.astype(y.dtype)
+        return y
+
+
+def packed_upsample_bilinear2(x: jax.Array) -> jax.Array:
+    """2x bilinear upsample (align_corners=False, edge-clamped — identical
+    to jax.image.resize 'bilinear') emitted directly in packed layout:
+    [B,H,W,C] -> [B,H,W,4C].  Output subpixel dy samples input coordinate
+    i + dy/2 - 0.25, i.e. 0.25*x[i-1]+0.75*x[i] (dy=0) and
+    0.75*x[i]+0.25*x[i+1] (dy=1); separable in rows/cols."""
+    def shift_m(a, axis):
+        sl = [slice(None)] * a.ndim
+        sl[axis] = slice(None, 1)
+        first = a[tuple(sl)]
+        sl[axis] = slice(None, -1)
+        return jnp.concatenate([first, a[tuple(sl)]], axis=axis)
+
+    def shift_p(a, axis):
+        sl = [slice(None)] * a.ndim
+        sl[axis] = slice(-1, None)
+        last = a[tuple(sl)]
+        sl[axis] = slice(1, None)
+        return jnp.concatenate([a[tuple(sl)], last], axis=axis)
+
+    r0 = 0.25 * shift_m(x, 1) + 0.75 * x
+    r1 = 0.75 * x + 0.25 * shift_p(x, 1)
+    out = []
+    for r in (r0, r1):
+        out.append(0.25 * shift_m(r, 2) + 0.75 * r)
+        out.append(0.75 * r + 0.25 * shift_p(r, 2))
+    return jnp.concatenate(out, axis=-1).astype(x.dtype)
+
+
+class PackedUpBilinearConcat(nn.Module):
+    """Bilinear 2x up + 1x1 conv + concat with the packed skip — the
+    translation decoder's up path (UpSampleAndConcat transposed=False).
+    The 1x1 conv commutes with bilinear interpolation (both linear, conv is
+    per-pixel), so it runs at the low resolution first; parameter path
+    matches ('<name>/up_conv/kernel')."""
+
+    features: int
+    act_type: str = "lrelu"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, skip_packed: jax.Array) -> jax.Array:
+        cin = x.shape[-1]
+        w = _Kernel((1, 1, cin, self.features),
+                    kaiming_normal_fan_out(self.act_type), name="up_conv")()
+        y = jnp.einsum("bhwi,io->bhwo", x.astype(self.dtype),
+                       w[0, 0].astype(self.dtype))
+        y = packed_upsample_bilinear2(y)
+        return jnp.concatenate([y, skip_packed.astype(y.dtype)], axis=-1)
 
 
 # ------------------------------------------------------------ packed norm

@@ -44,15 +44,39 @@ class UGANEncoder(nn.Module):
     norm_type: str = "instance"
     act_type: str = "lrelu"
     dtype: Dtype = jnp.float32
+    pack_levels: int = 0   # first N levels space-to-depth (models/packed.py)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> Tuple[jax.Array, List[jax.Array]]:
         w = self.width
-        x = conv(w // 2, 5, act_type=self.act_type, dtype=self.dtype, name="pre_conv")(x)
-        x = NormAct(self.norm_type, self.act_type, self.dtype, name="pre_bn")(x)
-
         skips = []
-        for i, mult in enumerate((1, 2, 4, 8)):
+        start = 0
+        if self.pack_levels > 0:
+            from smsut_tpu.models import packed as pk
+
+            cin = x.shape[-1]
+            x = pk.space_to_depth(x)
+            x = pk.PackedConv(w // 2, 5, (cin,), self.act_type, self.dtype,
+                              name="pre_conv")(x)
+            x = pk.PackedNormAct(self.norm_type, self.act_type, w // 2,
+                                 self.dtype, name="pre_bn")(x)
+            prev = w // 2
+            for i, mult in list(enumerate((1, 2, 4, 8)))[:self.pack_levels]:
+                x = pk.PackedBasicBlock(mult * w, (prev,), self.norm_type,
+                                        self.act_type, self.dtype,
+                                        name=f"enc{i + 1}")(x)
+                skips.append(x)          # packed
+                x = pk.packed_max_pool_to_unpacked(x, mult * w)
+                if i + 1 < self.pack_levels:
+                    x = pk.space_to_depth(x)
+                prev = mult * w
+            start = self.pack_levels
+        else:
+            x = conv(w // 2, 5, act_type=self.act_type, dtype=self.dtype,
+                     name="pre_conv")(x)
+            x = NormAct(self.norm_type, self.act_type, self.dtype, name="pre_bn")(x)
+
+        for i, mult in list(enumerate((1, 2, 4, 8)))[start:]:
             x = BasicBlock(mult * w, self.norm_type, self.act_type, self.dtype,
                            name=f"enc{i + 1}")(x)
             skips.append(x)
@@ -72,16 +96,38 @@ class UGANDecoder(nn.Module):
     transposed: bool = True
     use_tanh: bool = False
     dtype: Dtype = jnp.float32
+    pack_levels: int = 0   # last N levels in packed space (models/packed.py)
 
     @nn.compact
     def __call__(self, x: jax.Array, skips: Sequence[jax.Array]) -> jax.Array:
         w = self.width
-        for i, mult in zip((4, 3, 2, 1), (8, 4, 2, 1)):
+        for i, mult in ((4, 8), (3, 4), (2, 2), (1, 1)):
+            if i <= self.pack_levels:
+                break
             x = UpSampleAndConcat(mult * w, transposed=self.transposed,
                                   act_type=self.act_type, dtype=self.dtype,
                                   name=f"up{i}")(x, skips[4 - i])
             x = BasicBlock(mult * w, self.norm_type, self.act_type, self.dtype,
                            name=f"dec{i}")(x)
+        if self.pack_levels:
+            from smsut_tpu.models import packed as pk
+
+            up_cls = (pk.PackedUpConcat if self.transposed
+                      else pk.PackedUpBilinearConcat)
+            for lvl in range(self.pack_levels, 0, -1):
+                mult = (1, 2, 4, 8)[lvl - 1]
+                x = up_cls(mult * w, self.act_type, self.dtype,
+                           name=f"up{lvl}")(x, skips[4 - lvl])
+                x = pk.PackedBasicBlock(mult * w, (mult * w, mult * w),
+                                        self.norm_type, self.act_type,
+                                        self.dtype, name=f"dec{lvl}")(x)
+                if lvl > 1:
+                    x = pk.depth_to_space(x, mult * w)
+            x = pk.PackedConv(self.out_ch, 1, (w,), self.act_type, self.dtype,
+                              use_bias=True, name="fc")(x)
+            if self.use_tanh:
+                x = jnp.tanh(x)
+            return pk.depth_to_space(x, self.out_ch)
         x = conv1x1(self.out_ch, act_type=self.act_type, dtype=self.dtype,
                     use_bias=True, name="fc")(x)
         if self.use_tanh:
@@ -106,10 +152,12 @@ class _UGANCore(nn.Module):
     n_modal: int
     width: int = 32
     dtype: Dtype = jnp.float32
+    pack_levels: int = 0
 
     @nn.compact
     def __call__(self, x, m):
-        kw = dict(norm_type="instance", act_type="lrelu", dtype=self.dtype)
+        kw = dict(norm_type="instance", act_type="lrelu", dtype=self.dtype,
+                  pack_levels=self.pack_levels)
         x = x.astype(self.dtype)
         tsl_in = tile_modality_vec(x, m, self.n_modal)
 
@@ -134,11 +182,12 @@ class UGAN(nn.Module):
     n_modal: int
     width: int = 32
     dtype: Dtype = jnp.float32
+    pack_levels: int = 0
 
     @nn.compact
     def __call__(self, x: jax.Array, m: Optional[jax.Array] = None):
         seg, tsl, _ = _UGANCore(self.out_ch, self.n_modal, self.width, self.dtype,
-                                name="core")(x, m)
+                                pack_levels=self.pack_levels, name="core")(x, m)
         return seg, tsl
 
 
@@ -180,12 +229,14 @@ class UGANnce(nn.Module):
     width: int = 32
     netF_nc: int = 256
     dtype: Dtype = jnp.float32
+    pack_levels: int = 0
 
     @nn.compact
     def __call__(self, x: jax.Array, m: Optional[jax.Array] = None,
                  patch_ids: Optional[jax.Array] = None, val_phase: bool = False):
         seg, tsl, tsl_bottleneck = _UGANCore(self.out_ch, self.n_modal, self.width,
-                                             self.dtype, name="core")(x, m)
+                                             self.dtype, pack_levels=self.pack_levels,
+                                             name="core")(x, m)
         if val_phase:
             return seg, tsl
         assert patch_ids is not None, "patch_ids required outside val_phase"
@@ -210,16 +261,24 @@ class Discriminator(nn.Module):
     width: int = 32
     max_width: int = 512
     dtype: Dtype = jnp.float32
+    pack_levels: int = 0   # >0: stride-2 stem on the space-to-depth grid
 
     @nn.compact
     def __call__(self, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
         import numpy as np
 
         x = x.astype(self.dtype)
-        x = nn.Conv(self.width, kernel_size=(4, 4), strides=(2, 2),
-                    padding=[(1, 1), (1, 1)], use_bias=True,
-                    kernel_init=kaiming_normal_fan_out("lrelu"),
-                    dtype=self.dtype, param_dtype=jnp.float32, name="stem")(x)
+        if self.pack_levels:
+            from smsut_tpu.models import packed as pk
+
+            x = pk.PackedStride2Conv(self.width, "lrelu", self.dtype,
+                                     use_bias=True, name="stem")(
+                pk.space_to_depth(x))
+        else:
+            x = nn.Conv(self.width, kernel_size=(4, 4), strides=(2, 2),
+                        padding=[(1, 1), (1, 1)], use_bias=True,
+                        kernel_init=kaiming_normal_fan_out("lrelu"),
+                        dtype=self.dtype, param_dtype=jnp.float32, name="stem")(x)
         x = jax.nn.leaky_relu(x, negative_slope=1e-2)
 
         repeat_num = int(np.log2(self.input_size)) - 2

@@ -24,16 +24,17 @@ class UNet(nn.Module):
     norm_type: str = "batch"
     act_type: str = "relu"
     dtype: Dtype = jnp.float32
-    # run level 0 space-to-depth packed (identical math, TPU lane-friendly;
-    # models/packed.py).  Requires even H/W and instance norm.
-    pack_stem: bool = False
+    # run the first N levels space-to-depth packed (identical math, TPU
+    # lane-friendly; models/packed.py).  Requires H/W divisible by 2^N and
+    # instance norm.
+    pack_levels: int = 0
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         x = x.astype(self.dtype)
-        pack = self.pack_stem and self.norm_type == "instance"
+        pack = self.pack_levels if self.norm_type == "instance" else 0
         h, skips = Encoder(self.width, self.norm_type, self.act_type, self.dtype,
-                           pack_stem=pack, name="encoder")(x)
+                           pack_levels=pack, name="encoder")(x)
         y = Decoder(self.out_ch, self.width, self.norm_type, self.act_type, self.dtype,
-                    pack_stem=pack, name="decoder")(h, skips)
+                    pack_levels=pack, name="decoder")(h, skips)
         return y.astype(jnp.float32)

@@ -86,7 +86,7 @@ class CoraNet:
         dtype = setup_compute(cfg)
         self.net = UNet(out_ch=cfg.n_label * 3 + 1, width=cfg.base_width,
                         norm_type="instance", act_type="lrelu", dtype=dtype,
-                        pack_stem=cfg.pack_stem)
+                        pack_levels=cfg.pack_levels)
         self.w_con, self.w_rad = coranet_weights(cfg.n_label)
         # stage B uses poly decay over cora_epoch; stage A constant LR
         self._pre_step = jax.jit(self._pre_step_impl, donate_argnums=(0,))

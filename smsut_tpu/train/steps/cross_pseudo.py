@@ -36,7 +36,7 @@ class CrossPseudo:
         dtype = setup_compute(cfg)
         self.net = UNet(out_ch=cfg.n_class, width=cfg.base_width,
                         norm_type="instance", act_type="lrelu", dtype=dtype,
-                        pack_stem=cfg.pack_stem)
+                        pack_levels=cfg.pack_levels)
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
 
     def init_state(self, rng: jax.Array) -> TrainState:

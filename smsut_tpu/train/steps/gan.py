@@ -76,14 +76,15 @@ class UGANBase:
         if self.with_nce:
             self.net = UGANnce(out_ch=cfg.n_class, n_modal=cfg.n_modal,
                                width=cfg.base_width, netF_nc=cfg.netF_nc,
-                               dtype=dtype)
+                               dtype=dtype, pack_levels=cfg.pack_levels)
         else:
             self.net = UGAN(out_ch=cfg.n_class, n_modal=cfg.n_modal,
-                            width=cfg.base_width, dtype=dtype)
+                            width=cfg.base_width, dtype=dtype,
+                            pack_levels=cfg.pack_levels)
         self.D = Discriminator(input_size=cfg.input_size, n_modal=cfg.n_modal,
                                width=cfg.base_width,
                                max_width=256 if cfg.base_width == 16 else 512,
-                               dtype=dtype)
+                               dtype=dtype, pack_levels=cfg.pack_levels)
         # bottleneck spatial positions for patch sampling (input/2^4)^2
         self.bottleneck_hw = (cfg.input_size // 16) ** 2
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))

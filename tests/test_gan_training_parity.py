@@ -183,15 +183,18 @@ def test_gan_training_steps_match(rng):
             got_fc = np.asarray(
                 state.g_params["core"]["seg_decoder"]["fc"]["kernel"]
             ).transpose(3, 2, 0, 1)
+            # atol covers the packed-stem summation-order drift
+            # (pack_stem reorders the conv reduction lattice; ~4e-5 after
+            # two steps through the GAN update)
             np.testing.assert_allclose(
                 got_fc, t_g.seg_decoder.fc.weight.detach().numpy(),
-                rtol=2e-3, atol=2e-5)
+                rtol=2e-3, atol=1e-4)
             got_pre = np.asarray(
                 state.g_params["core"]["seg_encoder"]["pre_conv"]["kernel"]
             ).transpose(3, 2, 0, 1)
             np.testing.assert_allclose(
                 got_pre, t_g.seg_encoder.pre_conv.weight.detach().numpy(),
-                rtol=2e-3, atol=2e-5)
+                rtol=2e-3, atol=1e-4)
             # D/Adam params: magnitudes are +-lr everywhere; assert the
             # update DIRECTIONS agree on >99% of elements (sign flips only
             # where |grad| ~ float32 noise).

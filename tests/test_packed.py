@@ -50,11 +50,12 @@ def test_pack_kernel_concat_segments(rng):
                                np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
-@pytest.fixture
-def unet_pair():
+@pytest.fixture(params=[1, 2])
+def unet_pair(request):
     kw = dict(out_ch=5, width=8, norm_type="instance", act_type="lrelu",
               dtype=jnp.float32)
-    return UNet(pack_stem=False, **kw), UNet(pack_stem=True, **kw)
+    return (UNet(pack_levels=0, **kw),
+            UNet(pack_levels=request.param, **kw))
 
 
 def test_unet_packed_same_params_and_forward(unet_pair, rng):
@@ -68,6 +69,43 @@ def test_unet_packed_same_params_and_forward(unet_pair, rng):
     y0 = plain.apply({"params": params}, x)
     y1 = packed.apply({"params": params}, x)   # SAME params
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_ugan_packed_equivalence(rng):
+    from smsut_tpu.models.ugan import UGANnce
+
+    kw = dict(out_ch=5, n_modal=4, width=8, netF_nc=32, dtype=jnp.float32)
+    plain, packed = UGANnce(pack_levels=0, **kw), UGANnce(pack_levels=2, **kw)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 1)).astype(np.float32))
+    m = jax.nn.one_hot(jnp.asarray([1, 2]), 4)
+    ids = jnp.asarray([0, 3, 1])
+    params = plain.init(jax.random.PRNGKey(0), x, m, ids)["params"]
+    assert (jax.tree_util.tree_map(jnp.shape, params)
+            == jax.tree_util.tree_map(
+                jnp.shape, packed.init(jax.random.PRNGKey(0), x, m, ids)["params"]))
+
+    out0 = plain.apply({"params": params}, x, m, ids)
+    out1 = packed.apply({"params": params}, x, m, ids)
+    for a, b in zip(out1, out0):   # seg, tsl (bilinear+tanh), feat_pool
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_discriminator_packed_equivalence(rng):
+    from smsut_tpu.models.ugan import Discriminator
+
+    kw = dict(input_size=32, n_modal=4, width=8, max_width=64,
+              dtype=jnp.float32)
+    plain = Discriminator(pack_levels=0, **kw)
+    packed = Discriminator(pack_levels=1, **kw)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 1)).astype(np.float32))
+    params = plain.init(jax.random.PRNGKey(0), x)["params"]
+    src0, cls0 = plain.apply({"params": params}, x)
+    src1, cls1 = packed.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(src1), np.asarray(src0),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(cls1), np.asarray(cls0),
                                rtol=1e-4, atol=1e-4)
 
 
