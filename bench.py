@@ -364,6 +364,9 @@ def bench_pipeline(device_augment: bool, iters: int = 30) -> dict:
     root = tempfile.mkdtemp(prefix="smsut-bench-")
     make_synthetic_dataset(root, n_patients_per_modality=3, n_slice=8, size=256)
     cfg = Config(base_root=root, device_augment=device_augment)
+    # chunked dispatch drains T batches at once — keep the producer ahead
+    cfg = cfg.replace(prefetch_depth=max(cfg.prefetch_depth,
+                                         2 * int(cfg.steps_per_dispatch)))
     algo = SupervisedUNet(cfg)
     state = algo.init_state(jax.random.PRNGKey(0))
 
@@ -371,16 +374,18 @@ def bench_pipeline(device_augment: bool, iters: int = 30) -> dict:
     loader = get_loader(root, "train", 0, cfg.batch_size, cfg.data_aug, cfg=cfg,
                         rng=rng, raw=device_augment)
     fused = None
+    T = 1
     if device_augment:
         from smsut_tpu.data.device_augment import DeviceAugment
-        from smsut_tpu.train.loop import make_fused_step
+        from smsut_tpu.train.loop import make_fused_chunk, make_fused_step
 
         da = DeviceAugment(cfg, random.Random(1))
-        stage = bool(cfg.prefetch_device)
+        T = max(1, int(cfg.steps_per_dispatch))
+        stage = bool(cfg.prefetch_device) and T == 1
 
         def post(b):
             h, w = b.img.shape[1:3]
-            params = da.sample_params(b.batch_size, h, w)
+            params = da.sample_params_packed(b.batch_size, h, w)
             if stage:
                 b = Batch(jax.device_put(b.img), jax.device_put(b.msk),
                           b.mdl, b.names)
@@ -388,13 +393,22 @@ def bench_pipeline(device_augment: bool, iters: int = 30) -> dict:
             return (b, params)
 
         loader.post = post
-        fused = make_fused_step(algo, da)
+        fused = (make_fused_chunk(algo, da, T) if T > 1
+                 else make_fused_step(algo, da))
 
     it = loader.iter_cycle()
-    scalars = {"rng": np.zeros(2, np.uint32)}
+    scalars = {"rng": (np.zeros((T, 2), np.uint32) if T > 1
+                       else np.zeros(2, np.uint32))}
     extra: dict = {}
 
     def one():
+        if fused is not None and T > 1:
+            items = [next(it) for _ in range(T)]
+            args = [jax.device_put(np.stack([b.img for b, _ in items])),
+                    jax.device_put(np.stack([b.msk for b, _ in items])),
+                    jax.device_put(np.stack([b.mdl for b, _ in items])),
+                    jax.device_put(np.stack([p for _, p in items]))]
+            return fused(state_holder[0], *args, scalars)
         if fused is not None:
             b, params = next(it)
             return fused(state_holder[0], b.img, b.msk, b.mdl, params,
@@ -412,7 +426,7 @@ def bench_pipeline(device_augment: bool, iters: int = 30) -> dict:
     for _ in range(iters):
         state_holder[0], m = one()
     float(jax.device_get(cksum((state_holder[0], m))))
-    sec = (time.perf_counter() - tic) / iters
+    sec = (time.perf_counter() - tic) / (iters * T)
     peak, kind = chip_peak()
     # bare-step cost for MFU context (the augment warp's flops are not
     # included, so the pipeline MFU is a slight lower bound)

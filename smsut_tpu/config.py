@@ -116,6 +116,15 @@ class Config:
     device_augment: bool = True
     # write a jax.profiler trace of one training epoch to this directory.
     profile_dir: str = ""
+    # fuse N train iterations into ONE dispatch (lax.scan over stacked
+    # batches).  Every execute through the remote tunnel pays a fixed
+    # host/RTT cost (~10ms measured); chunking amortizes it N-fold.  All
+    # per-iteration semantics (PRNG keys, poly-LR, metrics granularity,
+    # non-finite detection) are preserved; logging/eval cadence unchanged.
+    # Set 1 for strict single-dispatch-per-iteration behaviour.  Applies to
+    # the fused device-augment path on a single host; algorithms with
+    # host-side per-iteration batches (CoraNet stage B) fall back to 1.
+    steps_per_dispatch: int = 4
     # stage train batches onto the device from the loader's producer thread
     # (double-buffered device_put): the H2D transfer of batch i+1 overlaps
     # the compute of batch i, so the train loop is dispatch-bound rather

@@ -71,6 +71,47 @@ def make_fused_step(algo, device_aug):
     return jax.jit(fused, donate_argnums=(0,))
 
 
+def make_fused_chunk(algo, device_aug, n_steps: int):
+    """T augment+train iterations in ONE dispatch (`lax.scan` over stacked
+    batches): through the remote-tunnel backend every execute pays a fixed
+    host/RTT cost (~10ms measured); chunking amortizes it T-fold.  Batch
+    inputs carry a leading [T] dim; per-iteration PRNG keys ride in
+    ``scalars['rng']`` as [T, 2]; metrics come back [T]-stacked."""
+    uses_ul = getattr(algo, "uses_unlabeled", False)
+
+    if uses_ul:
+        def chunk(state, li, lm, lmdl, lp, ui, um, umdl, up, scalars):
+            base = {k: v for k, v in scalars.items() if k != "rng"}
+
+            def body(s, xs):
+                (bli, blm, blmdl, blp, bui, bum, bumdl, bup, key) = xs
+                img, msk = device_aug._apply_impl(bli, blm, blp)
+                uimg, _ = device_aug._apply_impl(bui, bum, bup)
+                batch = {"img": img, "msk": msk, "mdl": blmdl,
+                         "ul_img": uimg, "ul_mdl": bumdl}
+                return algo._train_step_impl(s, batch, dict(base, rng=key))
+
+            return jax.lax.scan(
+                body, state,
+                (li, lm, lmdl, lp, ui, um, umdl, up, scalars["rng"]),
+                length=n_steps)
+    else:
+        def chunk(state, li, lm, lmdl, lp, scalars):
+            base = {k: v for k, v in scalars.items() if k != "rng"}
+
+            def body(s, xs):
+                (bli, blm, blmdl, blp, key) = xs
+                img, msk = device_aug._apply_impl(bli, blm, blp)
+                batch = {"img": img, "msk": msk, "mdl": blmdl}
+                return algo._train_step_impl(s, batch, dict(base, rng=key))
+
+            return jax.lax.scan(body, state,
+                                (li, lm, lmdl, lp, scalars["rng"]),
+                                length=n_steps)
+
+    return jax.jit(chunk, donate_argnums=(0,))
+
+
 class Trainer:
     def __init__(self, algo, cfg: Config, phase: str, args=None,
                  experiment: Optional[Experiment] = None, use_mesh: bool = True):
@@ -94,6 +135,13 @@ class Trainer:
         self.epoch = 0
         self.device_aug = None
         self._fused_step = None
+        self._fused_chunk = None
+        # dispatch chunking eligibility (see Config.steps_per_dispatch)
+        self._chunk_T = int(getattr(cfg, "steps_per_dispatch", 1) or 1)
+        if (self._mp or self._chunk_T < 2
+                or hasattr(algo, "make_extra_batch")
+                or not cfg.device_augment):
+            self._chunk_T = 1
         self.rng = jax.random.PRNGKey(cfg.seed)
         self.rng, init_rng = jax.random.split(self.rng)
         self.state = algo.init_state(init_rng)
@@ -155,6 +203,10 @@ class Trainer:
             self.device_aug = None
         if loader_type not in ("inTurn", "balance"):
             raise NotImplementedError(loader_type)
+        if self._chunk_T > 1:
+            # chunked dispatch drains T batches at once — keep producers ahead
+            cfg = cfg.replace(prefetch_depth=max(cfg.prefetch_depth,
+                                                 2 * self._chunk_T))
         lb_loader = get_loader(cfg.base_root, "train", self.fold, cfg.batch_size,
                                cfg.data_aug, cfg=cfg, rng=data_rng, raw=raw,
                                loader_type=loader_type)
@@ -177,12 +229,15 @@ class Trainer:
             # loop reads int(mdl[0]) per iteration for metering, which must
             # not become a blocking device fetch.  Multi-host keeps host
             # arrays (shard_batch assembles global arrays itself).
-            stage = bool(cfg.prefetch_device) and not self._mp
+            # chunked dispatch stacks T host batches into one transfer, so
+            # per-batch staging only applies at T == 1
+            stage = (bool(cfg.prefetch_device) and not self._mp
+                     and self._chunk_T == 1)
 
             def _attach(da):
                 def post(b):
                     h, w = b.img.shape[1:3]
-                    params = da.sample_params(b.batch_size, h, w)
+                    params = da.sample_params_packed(b.batch_size, h, w)
                     if stage:
                         b = Batch(jax.device_put(b.img), jax.device_put(b.msk),
                                   b.mdl, b.names)
@@ -306,6 +361,10 @@ class Trainer:
         keys = np.stack([np.array([hi, i], np.uint32) for i in range(n_iters + 1)])
         if self.device_aug is not None and self._fused_step is None:
             self._fused_step = make_fused_step(self.algo, self.device_aug)
+        if (self.device_aug is not None and self._chunk_T > 1):
+            self._train_epoch_chunked(lb_itr, ul_itr, meter, scalars_host,
+                                      keys, n_iters, log_step, tic)
+            return
 
         import os as _os
 
@@ -337,7 +396,7 @@ class Trainer:
             if self.device_aug is not None:
                 if lb_params is None:
                     h, w = lb.img.shape[1:3]
-                    lb_params = self.device_aug.sample_params(lb.batch_size, h, w)
+                    lb_params = self.device_aug.sample_params_packed(lb.batch_size, h, w)
                 args = [lb.img, lb.msk, lb.mdl, lb_params]
                 if uses_ul:
                     uitem = ul_itr.next()
@@ -345,8 +404,8 @@ class Trainer:
                                      else (uitem, None))
                     if ul_params is None:
                         h, w = ul.img.shape[1:3]
-                        ul_params = self.device_aug.sample_params(ul.batch_size,
-                                                                  h, w)
+                        ul_params = self.device_aug.sample_params_packed(
+                            ul.batch_size, h, w)
                     args += [ul.img, ul.msk, ul.mdl, ul_params]
                 if timing:
                     _t3 = time.perf_counter()
@@ -401,6 +460,94 @@ class Trainer:
             if "loss2" in metrics:  # cross-pseudo meters both nets
                 v, cnt = Meter.collect_loss_by(float(metrics["loss2"]), m, n)
                 meter.accumulate(v, cnt)
+
+    def _train_epoch_chunked(self, lb_itr, ul_itr, meter, scalars_host, keys,
+                             n_iters, log_step, tic) -> None:
+        """Chunked variant of the fused train loop: T iterations per
+        dispatch (Config.steps_per_dispatch) with one stacked H2D transfer.
+        Identical iteration semantics — same batches, augment params and
+        per-iteration PRNG keys in the same order as the T=1 loop."""
+        T = self._chunk_T
+        uses_ul = getattr(self.algo, "uses_unlabeled", False)
+        if self._fused_chunk is None:
+            self._fused_chunk = make_fused_chunk(self.algo, self.device_aug, T)
+        scalars = dict(scalars_host)     # remainder path (same-dict rule)
+        scalars_c = dict(scalars_host)   # chunk path
+        extra0: Dict = {}
+        pending = []
+
+        def fetch(itr):
+            item = itr.next()
+            b, p = item if isinstance(item, tuple) else (item, None)
+            if p is None:
+                h, w = b.img.shape[1:3]
+                p = self.device_aug.sample_params_packed(b.batch_size, h, w)
+            return b, p
+
+        done = 0
+        while done < n_iters:
+            t = min(T, n_iters - done)
+            lbs = [fetch(lb_itr) for _ in range(t)]
+            uls = [fetch(ul_itr) for _ in range(t)] if uses_ul else []
+            ms = [int(b.mdl[0]) for b, _ in lbs]
+            ns = [b.batch_size for b, _ in lbs]
+            if t == T:
+                def stack(xs):
+                    return jax.device_put(np.stack(xs))
+
+                args = [stack([b.img for b, _ in lbs]),
+                        stack([b.msk for b, _ in lbs]),
+                        stack([b.mdl for b, _ in lbs]),
+                        stack([p for _, p in lbs])]
+                if uses_ul:
+                    args += [stack([b.img for b, _ in uls]),
+                             stack([b.msk for b, _ in uls]),
+                             stack([b.mdl for b, _ in uls]),
+                             stack([p for _, p in uls])]
+                scalars_c["rng"] = keys[done + 1: done + 1 + T]
+                self.state, mets = self._fused_chunk(self.state, *args,
+                                                     scalars_c)
+                pending.append((mets, ms, ns))
+            else:  # remainder: per-iteration fused dispatches
+                for j, (b, p) in enumerate(lbs):
+                    scalars["rng"] = keys[done + 1 + j]
+                    a = [b.img, b.msk, b.mdl, p]
+                    if uses_ul:
+                        ub, up = uls[j]
+                        a += [ub.img, ub.msk, ub.mdl, up]
+                    self.state, met = self._fused_step(self.state, *a,
+                                                       extra0, scalars)
+                    pending.append((met, [ms[j]], [ns[j]]))
+            done += t
+            if log_step and (done % log_step) < t:
+                mets = pending[-1][0]
+                last = {k: float(np.asarray(v).reshape(-1)[-1])
+                        for k, v in mets.items()}
+                msg = "Iter: %d/%d(%d), elapsed: %.2fs," % (
+                    done - 1, n_iters, int(self.state.step), time.time() - tic)
+                tic = time.time()
+                for k, v in last.items():
+                    msg += " %s: %.4f," % (k, v)
+                self.info(msg)
+
+        it = 0
+        for mets, ms, ns in pending:
+            host = {k: np.asarray(v).reshape(len(ms), -1)
+                    for k, v in mets.items()}
+            for j, (m, n) in enumerate(zip(ms, ns)):
+                loss = float(host["loss"][j, 0])
+                if not np.isfinite(loss):
+                    diag = {k: float(v[j, 0]) for k, v in host.items()}
+                    raise FloatingPointError(
+                        f"non-finite loss at epoch {self.epoch} iter {it}: "
+                        f"{diag}")
+                v, cnt = Meter.collect_loss_by(loss, m, n)
+                meter.accumulate(v, cnt)
+                if "loss2" in host:
+                    v, cnt = Meter.collect_loss_by(float(host["loss2"][j, 0]),
+                                                   m, n)
+                    meter.accumulate(v, cnt)
+                it += 1
 
     # ------------------------------------------------------------ validation
     def validate_epoch(self, loader: BatchLoader, npys: Dict[str, np.ndarray],
