@@ -13,6 +13,8 @@ import sys
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/smsut-jax-cache-cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 try:  # cross-process CPU collectives
     jax.config.update("jax_cpu_collectives_implementation", "gloo")
 except Exception:
