@@ -146,22 +146,30 @@ class DeviceAugment:
         sx = ox + (cth * rx + sth * ry)
 
         # ---- single packed gather: rows of (v00,v01,v10,v11,m00,m01,m10,m11)
+        # for every base corner (y0, x0) in [-1, h-1] x [-1, w-1], built over a
+        # 1-padded grid so each member of the 2x2 neighborhood is the
+        # *correctly clipped* pixel.  (A previous revision packed rows only
+        # for base corners in [0, h-1]: when floor(sy) == -1 the base index
+        # clipped to 0 and the +1 taps then read row 1 instead of row 0 —
+        # an off-by-one on the left/top boundary band vs the tap-wise
+        # gathers below.)
         imgf = img.astype(jnp.float32)
         mskf = msk.astype(jnp.float32)
-        pad = lambda a: jnp.pad(a, ((0, 1), (0, 1)))        # zero row/col h,w
+        pad = lambda a: jnp.pad(a, ((1, 1), (1, 1)))        # zero ring
         ip, mp = pad(imgf), pad(mskf)
+        gh, gw = h + 1, w + 1                               # base-corner grid
         taps = jnp.stack([
-            ip[:h, :w], ip[:h, 1:], ip[1:, :w], ip[1:, 1:],
-            mp[:h, :w], mp[:h, 1:], mp[1:, :w], mp[1:, 1:],
-        ], axis=-1).reshape(h * w, 8)
+            ip[:gh, :gw], ip[:gh, 1:], ip[1:, :gw], ip[1:, 1:],
+            mp[:gh, :gw], mp[:gh, 1:], mp[1:, :gw], mp[1:, 1:],
+        ], axis=-1).reshape(gh * gw, 8)
 
         y0 = jnp.floor(sy)
         x0 = jnp.floor(sx)
         wy = sy - y0
         wx = sx - x0
-        y0c = jnp.clip(y0, 0, h - 1).astype(jnp.int32)
-        x0c = jnp.clip(x0, 0, w - 1).astype(jnp.int32)
-        g = jnp.take(taps, y0c * w + x0c, axis=0)           # [s,s,8]
+        y0c = (jnp.clip(y0, -1, h - 1) + 1).astype(jnp.int32)   # [0, h]
+        x0c = (jnp.clip(x0, -1, w - 1) + 1).astype(jnp.int32)   # [0, w]
+        g = jnp.take(taps, y0c * gw + x0c, axis=0)          # [s,s,8]
 
         # per-tap in-bounds zero fill (identical to the original tap guards)
         def inb(yi, xi):

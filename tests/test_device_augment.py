@@ -62,6 +62,55 @@ def test_rotation_only_matches_host_rotate(rng):
     assert agree > 0.9
 
 
+def test_border_matches_tapwise_gather(rng):
+    """Packed single-gather warp vs the tap-wise reference gathers on the
+    FULL image incl. the boundary band.
+
+    Regression for the round-2 off-by-one: when floor(sy) or floor(sx) was
+    -1 the packed row's +1 taps read row/col 1 instead of the clipped
+    row/col 0 (ADVICE.md r2, medium)."""
+    import math
+
+    import jax
+
+    from smsut_tpu.data.device_augment import (_bilinear_gather,
+                                               _nearest_gather)
+
+    h = w = 32
+    cfg = _cfg(rotate=True, elasticDeform=False, resizeCrop=False)
+    da = DeviceAugment(cfg, random.Random(0))
+    img = (rng.random((h, w)) * 255).astype(np.uint8)
+    msk = rng.integers(0, 5, (h, w)).astype(np.uint8)
+
+    for angle in (27.3, -63.0, 118.5):
+        out_i, out_m = jax.jit(da._warp_one)(
+            jnp.asarray(img), jnp.asarray(msk),
+            jnp.float32(angle), jnp.float32(0.0),
+            jnp.zeros((2, 3, 3), jnp.float32),
+            jnp.asarray([0.0, 0.0, float(h), float(w)], jnp.float32),
+            jnp.float32(1.0), jnp.float32(1.0), jnp.float32(1.0))
+
+        # recompute the source coords exactly as _warp_one does (identity
+        # crop, no elastic -> cy/cx are the integer output grid)
+        yy, xx = np.meshgrid(np.arange(h, dtype=np.float32),
+                             np.arange(w, dtype=np.float32), indexing="ij")
+        theta = -angle * math.pi / 180.0
+        cth, sth = math.cos(theta), math.sin(theta)
+        oy, ox = h / 2.0, w / 2.0
+        ry, rx = yy - oy, xx - ox
+        sy = oy + (-sth * rx + cth * ry)
+        sx = ox + (cth * rx + sth * ry)
+
+        want_i = np.asarray(_bilinear_gather(
+            jnp.asarray(img, jnp.float32), jnp.asarray(sy), jnp.asarray(sx)))
+        want_m = np.asarray(_nearest_gather(
+            jnp.asarray(msk), jnp.asarray(sy), jnp.asarray(sx)))
+
+        got_i = (np.asarray(out_i) * 0.5 + 0.5) * 255.0
+        np.testing.assert_allclose(got_i, want_i, atol=2e-3)
+        np.testing.assert_array_equal(np.asarray(out_m), want_m)
+
+
 def test_elastic_applied_with_p_half():
     cfg = _cfg(rotate=False, resizeCrop=False)
     da = DeviceAugment(cfg, random.Random(1))
