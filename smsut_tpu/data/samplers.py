@@ -91,9 +91,13 @@ class ShardedBatchSampler:
 
     def __iter__(self) -> Iterator[List[int]]:
         for idxs in self.base:
+            # silently dropping the remainder would break the "union of
+            # shards == reference stream" contract (ADVICE r2) — fail loud
+            assert len(idxs) % self.num_shards == 0, (
+                f"global batch of {len(idxs)} not divisible by "
+                f"{self.num_shards} processes; pick batch_size %% "
+                f"process_count == 0")
             per = len(idxs) // self.num_shards
-            if per == 0:
-                continue  # partial global batch smaller than the shard count
             yield idxs[self.shard_id * per: (self.shard_id + 1) * per]
 
     def __len__(self) -> int:

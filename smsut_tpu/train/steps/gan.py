@@ -70,6 +70,9 @@ class UGANBase:
 
     def __init__(self, cfg: Config):
         self.cfg = cfg
+        # fixed sample batch for the per-epoch translation grid — instance
+        # state, not class state (VERDICT r2 #9)
+        self._fixed: Optional[Tuple] = None
         dtype = setup_compute(cfg)
         self.dtype = dtype
         self.with_nce = self.variant in ("uganShp0", "uganConsis")
@@ -281,8 +284,6 @@ class UGANBase:
         img = Image.fromarray((rows * 255).astype(np.uint8))
         img.save(os.path.join(trainer.exp.sample_root,
                               f"train-{epoch + 1}-images.jpg"))
-
-    _fixed: Optional[Tuple] = None
 
     def set_fixed_batch(self, x_fixed, mdl) -> None:
         # numpy one-hot: no device program on the training path
