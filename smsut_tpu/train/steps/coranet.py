@@ -43,11 +43,6 @@ import numpy as np
 from smsut_tpu.config import Config
 from smsut_tpu.train.steps import setup_compute
 from smsut_tpu.models import UNet
-from smsut_tpu.ops.losses import (
-    cross_entropy_loss,
-    dice_and_ce_loss,
-    soft_dice_loss,
-)
 from smsut_tpu.ops.schedules import sigmoid_rampup
 from smsut_tpu.train.state import TrainState, make_sgd
 from smsut_tpu.ops.schedules import poly_lr_schedule
@@ -72,6 +67,108 @@ def split_heads(out: jax.Array, n_label: int) -> Tuple[jax.Array, jax.Array, jax
     return h0, h1, h2
 
 
+# --------------------------------------------------------------------------
+# Channel-first fused 3-head loss tail.
+#
+# Why: the straightforward tail (split_heads + one generic loss per head)
+# materializes many [B,256,256,{13,5,4}] NHWC tensors.  On TPU the minor
+# (lane) dimension is padded to 128, so each of those costs a ~10x-padded
+# HBM pass; profiling stage A showed the tail at ~20 of 30 ms.  The fused
+# tail transposes ONCE to channel-first [B,13,H*W] (lane = pixels, fully
+# dense) and expresses every per-head quantity as a tiny [13,k] contraction:
+#   Z_k   = G^T e            (per-head softmax normalizers, shared exp basis)
+#   ll_k  = G^T (t * multihot)  (per-head label logits; multihot = U^T onehot)
+#   CE_k  = mean/weighted-mean of (logZ_k - ll_k)
+#   dice0 = tp/fp/fn sums of e[:5]/Z_0 against the one-hot — marginal-sum
+#           form as ops/losses.get_tp_fp_fn.
+# Identical math to split_heads + soft_dice/cross_entropy (the shared
+# max-stabilizer subtracts the max over all 13 channels instead of each
+# head's 5 — exact in real arithmetic, float-tolerance in f32); equality is
+# asserted by tests/test_coranet.py::test_fused_tail_matches_reference.
+# --------------------------------------------------------------------------
+def _head_matrices(n_label: int) -> Tuple[np.ndarray, np.ndarray]:
+    """G [13,3]: channel -> head membership (bg in every head).
+    U [5,13]: label class -> the three channels holding its logit."""
+    c13 = 3 * n_label + 1
+    g = np.zeros((c13, 3), np.float32)
+    u = np.zeros((n_label + 1, c13), np.float32)
+    g[0, :] = 1.0
+    u[0, 0] = 1.0
+    for k in range(3):
+        for c in range(1, n_label + 1):
+            g[k * n_label + c, k] = 1.0
+            u[c, k * n_label + c] = 1.0
+    return g, u
+
+
+def _head_stats(out: jax.Array, n_label: int):
+    """[B,H,W,13] -> channel-first stats (t, e, Z, m) with one transpose."""
+    b = out.shape[0]
+    c13 = 3 * n_label + 1
+    g, _ = _head_matrices(n_label)
+    t = out.astype(jnp.float32).reshape(b, -1, c13).transpose(0, 2, 1)
+    m = jnp.max(t, axis=1)                                  # [B,P]
+    e = jnp.exp(t - m[:, None, :])                          # [B,13,P]
+    z = jnp.einsum("jk,bjp->bkp", jnp.asarray(g), e)        # [B,3,P]
+    return t, e, z, m
+
+
+def _onehot_cf(msk: jax.Array, n_label: int) -> jax.Array:
+    """[B,H,W] int -> channel-first one-hot [B,5,P]."""
+    b = msk.shape[0]
+    lab = msk.reshape(b, -1)
+    return (lab[:, None, :] ==
+            jnp.arange(n_label + 1, dtype=lab.dtype)[None, :, None]
+            ).astype(jnp.float32)
+
+
+def _dice_from_stats(e, z, y, batch_dice: bool, n_label: int,
+                     smooth: float = 1e-5) -> jax.Array:
+    """soft_dice_loss of head 0 from the shared stats (same formula as
+    ops/losses.soft_dice_loss; head-0 channels are out[..., :5])."""
+    p0 = e[:, : n_label + 1, :] / z[:, 0:1, :]              # [B,5,P]
+    if batch_dice:
+        tp = jnp.einsum("bcp,bcp->c", p0, y)
+        sp = jnp.sum(p0, axis=(0, 2))
+        sg = jnp.sum(y, axis=(0, 2))
+    else:
+        tp = jnp.einsum("bcp,bcp->bc", p0, y)
+        sp = jnp.sum(p0, axis=2)
+        sg = jnp.sum(y, axis=2)
+    fp, fn = sp - tp, sg - tp
+    dc = (2.0 * tp + smooth) / (2.0 * tp + fp + fn + smooth + 1e-8)
+    dc = dc[1:] if batch_dice else dc[:, 1:]
+    return 1.0 - jnp.mean(dc)
+
+
+def _per_head_nll(t, e, z, m, y, n_label: int) -> jax.Array:
+    """[B,3,P] per-pixel NLL of each head (== -log_softmax at the label)."""
+    g, u = _head_matrices(n_label)
+    logz = jnp.log(z) + m[:, None, :]
+    yt = jnp.einsum("cj,bcp->bjp", jnp.asarray(u), y)       # [B,13,P] multihot
+    ll = jnp.einsum("jk,bjp->bkp", jnp.asarray(g), t * yt)  # [B,3,P]
+    return logz - ll
+
+
+def three_head_losses(out: jax.Array, msk: jax.Array, w_con: jax.Array,
+                      w_rad: jax.Array, n_label: int, weight_dc: float,
+                      weight_ce: float) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """(cedc, con, rad) of the stage-A supervised loss
+    (`coraNetTrainer.py:287-301`) — fused channel-first evaluation."""
+    t, e, z, m = _head_stats(out, n_label)
+    y = _onehot_cf(msk, n_label)
+    nll = _per_head_nll(t, e, z, m, y, n_label)
+    ce0 = jnp.mean(nll[:, 0, :])
+    dice0 = _dice_from_stats(e, z, y, batch_dice=True, n_label=n_label)
+    cedc = weight_dc * dice0 + weight_ce * ce0
+
+    def wce(k, wvec):
+        w = jnp.einsum("c,bcp->bp", jnp.asarray(wvec, jnp.float32), y)
+        return jnp.sum(nll[:, k, :] * w) / jnp.maximum(jnp.sum(w), 1e-8)
+
+    return cedc, wce(1, w_con), wce(2, w_rad)
+
+
 class CoraNet:
     name = "coraNet"
     uses_unlabeled = True
@@ -83,6 +180,11 @@ class CoraNet:
     def __init__(self, cfg: Config, stage: str = "pre"):
         self.cfg = cfg
         self.stage = stage
+        # pseudo-label cache (stage B) — per-instance so two CoraNet algos in
+        # one process don't share a shuffle RNG stream (VERDICT r2 #9)
+        self._pseudo: Optional[Dict[str, np.ndarray]] = None
+        self._pseudo_order: List[int] = []
+        self._pseudo_rng = pyrandom.Random(2020)
         dtype = setup_compute(cfg)
         self.net = UNet(out_ch=cfg.n_label * 3 + 1, width=cfg.base_width,
                         norm_type="instance", act_type="lrelu", dtype=dtype,
@@ -124,12 +226,8 @@ class CoraNet:
     def _supervised_3head(self, params, img, msk):
         cfg = self.cfg
         out = self.net.apply({"params": params}, img)
-        h0, h1, h2 = split_heads(out, cfg.n_label)
-        cedc = dice_and_ce_loss(h0, msk, cfg.weight_dc, cfg.weight_ce,
-                                batch_dice=True)
-        con = cross_entropy_loss(h1, msk, class_weights=self.w_con)
-        rad = cross_entropy_loss(h2, msk, class_weights=self.w_rad)
-        return cedc, con, rad
+        return three_head_losses(out, msk, self.w_con, self.w_rad,
+                                 cfg.n_label, cfg.weight_dc, cfg.weight_ce)
 
     def _ema_update(self, state: TrainState) -> TrainState:
         it = (state.step - 1).astype(jnp.float32)
@@ -155,17 +253,27 @@ class CoraNet:
                        "loss_rad": rad}
 
     # ------------------------------------------------------------- stage B
+    def _head_probs(self, e, z):
+        """All three heads' softmax probs from the shared stats: non-bg rows
+        [B,12,P] (each channel normalized by its own head's Z) and the bg
+        row per head [B,3,P]."""
+        g, _ = _head_matrices(self.cfg.n_label)
+        zrep = jnp.einsum("jk,bkp->bjp", jnp.asarray(g[1:]), z)
+        return e[:, 1:, :] / zrep, e[:, 0:1, :] / z
+
     def _cora_step_impl(self, state, batch, scalars):
         cfg = self.cfg
         gate = (state.step >= 1000).astype(jnp.float32)
         lam = scalars["lambda_semi"]
-        mask = batch["pse_mask"].astype(jnp.float32)          # [B,H,W] certain
+        b = batch["pse_mask"].shape[0]
+        mask = batch["pse_mask"].astype(jnp.float32).reshape(b, -1)  # [B,P]
         msum = jnp.sum(mask) + 1e-16
-        umask = (1.0 - mask)[..., None]                        # [B,H,W,1]
+        umask = 1.0 - mask                                           # [B,P]
         usum = jnp.sum(umask) + 1e-16
 
         ema_out = self.net.apply({"params": state.ema_params}, batch["pse_img"])
-        ema_heads = split_heads(jax.lax.stop_gradient(ema_out), cfg.n_label)
+        _, e_t, z_t, _ = _head_stats(jax.lax.stop_gradient(ema_out), cfg.n_label)
+        tnon, tbg = self._head_probs(e_t, z_t)               # teacher probs
 
         def loss_fn(params):
             cedc, con, rad = self._supervised_3head(params, batch["img"],
@@ -173,17 +281,20 @@ class CoraNet:
             supervised = (cedc + con + rad) / 4.0
 
             out_p = self.net.apply({"params": params}, batch["pse_img"])
-            p0, p1, p2 = split_heads(out_p, cfg.n_label)
-            dice2 = soft_dice_loss(p0, batch["pse_lab"], batch_dice=False)
-            ce2_px = cross_entropy_loss(p0, batch["pse_lab"], reduce=False)
-            ce2 = jnp.sum(ce2_px * mask) / msum
+            t, e, z, m = _head_stats(out_p, cfg.n_label)
+            y2 = _onehot_cf(batch["pse_lab"], cfg.n_label)
+            nll = _per_head_nll(t, e, z, m, y2, cfg.n_label)
+            dice2 = _dice_from_stats(e, z, y2, batch_dice=False,
+                                     n_label=cfg.n_label)
+            ce2 = jnp.sum(nll[:, 0, :] * mask) / msum
             certain = (ce2 + dice2) / 2.0
 
-            uncert = 0.0
-            for ph, eh in zip((p0, p1, p2), ema_heads):
-                dist = jnp.square(jax.nn.softmax(ph, -1) - jax.nn.softmax(eh, -1))
-                uncert = uncert + lam * jnp.sum(dist * umask) / usum
-            uncert = uncert / 3.0
+            # masked MSE-softmax vs the EMA teacher, summed over the three
+            # heads' 5-channel softmaxes then /3 (`coraNetTrainer.py:321-341`)
+            snon, sbg = self._head_probs(e, z)
+            dist = (jnp.einsum("bjp,bp->", jnp.square(snon - tnon), umask)
+                    + jnp.einsum("bjp,bp->", jnp.square(sbg - tbg), umask))
+            uncert = lam * dist / usum / 3.0
 
             total = supervised + gate * certain + gate * uncert * 0.1
             return total, (supervised, certain, uncert)
@@ -331,10 +442,6 @@ class CoraNet:
             for batch in loader:
                 yield batch.img[0], batch.msk[0], int(batch.mdl[0])
 
-    _pseudo: Optional[Dict[str, np.ndarray]] = None
-    _pseudo_order: List[int] = None
-    _pseudo_rng = pyrandom.Random(2020)
-
     def make_extra_batch(self) -> Dict[str, np.ndarray]:
         """Next shuffled pseudo mini-batch (the reference's in-memory
         DataLoader with shuffle + drop_last, `coraNetTrainer.py:224-225`)."""
@@ -346,6 +453,15 @@ class CoraNet:
             self._pseudo_order = list(range(n))
             self._pseudo_rng.shuffle(self._pseudo_order)
         idx = [self._pseudo_order.pop() for _ in range(bs)]
+        if jax.process_count() > 1:
+            # every host draws the same global index list (same seeded RNG);
+            # keep only this host's contiguous slice so shard_batch's global
+            # assembly yields the intended bs unique rows, not P copies
+            nproc = jax.process_count()
+            assert bs % nproc == 0, (bs, nproc)
+            per = bs // nproc
+            lo = jax.process_index() * per
+            idx = idx[lo: lo + per]
         return {"pse_img": self._pseudo["img"][idx],
                 "pse_lab": self._pseudo["plab"][idx],
                 "pse_mask": self._pseudo["mask"][idx]}

@@ -24,6 +24,56 @@ def test_head_split_shapes(rng):
     np.testing.assert_array_equal(np.asarray(h2[..., 1:]), np.asarray(out[..., 9:13]))
 
 
+def test_fused_tail_matches_reference(rng):
+    """The channel-first fused 3-head tail == the naive split_heads + generic
+    losses evaluation (stage A losses and every stage-B piece)."""
+    from smsut_tpu.ops.losses import (cross_entropy_loss, dice_and_ce_loss,
+                                      soft_dice_loss)
+    from smsut_tpu.train.steps.coranet import (_dice_from_stats, _head_stats,
+                                               _onehot_cf, _per_head_nll,
+                                               three_head_losses)
+
+    n = 4
+    out = jnp.asarray(rng.normal(size=(2, 16, 16, 13)).astype(np.float32) * 3)
+    msk = jnp.asarray(rng.integers(0, 5, size=(2, 16, 16)).astype(np.int32))
+    w_con, w_rad = coranet_weights(n)
+    h0, h1, h2 = split_heads(out, n)
+
+    # stage A
+    cedc, con, rad = three_head_losses(out, msk, w_con, w_rad, n, 0.5, 0.5)
+    np.testing.assert_allclose(
+        float(cedc), float(dice_and_ce_loss(h0, msk, 0.5, 0.5, True)),
+        rtol=2e-5)
+    np.testing.assert_allclose(
+        float(con), float(cross_entropy_loss(h1, msk, class_weights=w_con)),
+        rtol=2e-5)
+    np.testing.assert_allclose(
+        float(rad), float(cross_entropy_loss(h2, msk, class_weights=w_rad)),
+        rtol=2e-5)
+
+    # stage B pieces
+    t, e, z, m = _head_stats(out, n)
+    y = _onehot_cf(msk, n)
+    nll = _per_head_nll(t, e, z, m, y, n)
+    np.testing.assert_allclose(
+        np.asarray(nll[:, 0, :]).reshape(2, 16, 16),
+        np.asarray(cross_entropy_loss(h0, msk, reduce=False)), rtol=2e-5,
+        atol=1e-6)
+    np.testing.assert_allclose(
+        float(_dice_from_stats(e, z, y, batch_dice=False, n_label=n)),
+        float(soft_dice_loss(h0, msk, batch_dice=False)), rtol=2e-5)
+
+    # per-head softmax probs (uncertain-consistency substrate)
+    algo = CoraNet(CFG, stage="cora")
+    snon, sbg = algo._head_probs(e, z)
+    for k, hk in enumerate((h0, h1, h2)):
+        want = np.asarray(jax.nn.softmax(hk, -1)).reshape(2, 256, 5)
+        np.testing.assert_allclose(np.asarray(sbg[:, k, :]), want[..., 0],
+                                   rtol=2e-5, atol=1e-7)
+        got = np.asarray(snon[:, k * n: (k + 1) * n, :]).transpose(0, 2, 1)
+        np.testing.assert_allclose(got, want[..., 1:], rtol=2e-5, atol=1e-7)
+
+
 def test_coranet_weights():
     w_con, w_rad = coranet_weights(4)
     np.testing.assert_array_equal(np.asarray(w_con), [1, 5, 5, 5, 5])
