@@ -143,6 +143,18 @@ class Config:
     # checkpoint transfers) makes every later train-step execution pay a
     # ~330ms remote program reload — raise this there to amortize it.
     eval_every: int = 1
+    # evaluate the whole test sweep as ONE lax.scan program over the
+    # device-resident stacked test set (uint8, normalized in-body) instead
+    # of one dispatch + H2D per batch.  Identical predictions/losses to the
+    # per-batch path (tests/test_eval_scan.py); cuts an eval epoch to a
+    # single execute + one uint8 fetch — on the tunnel chip this also
+    # dodges the ~330ms per-dispatch program reload.  Multi-host: the
+    # batch axis is sharded across processes and re-gathered.
+    eval_scan: bool = True
+    # test phase: replace the reference's HD==dice placeholder
+    # (`misc/utils.py:245`) with the genuine Hausdorff distance in the
+    # middle matrix.  Off by default for CSV output parity.
+    real_hd: bool = False
 
     def __post_init__(self):
         env_base = os.environ.get("SMSUT_DATA_ROOT")

@@ -136,9 +136,11 @@ class Trainer:
         self.device_aug = None
         self._fused_step = None
         self._fused_chunk = None
-        # dispatch chunking eligibility (see Config.steps_per_dispatch)
+        # dispatch chunking eligibility (see Config.steps_per_dispatch);
+        # multi-host is supported — per-host stacks assemble into global
+        # [T, B_global] arrays via shard_batch(axis=1)
         self._chunk_T = int(getattr(cfg, "steps_per_dispatch", 1) or 1)
-        if (self._mp or self._chunk_T < 2
+        if (self._chunk_T < 2
                 or hasattr(algo, "make_extra_batch")
                 or not cfg.device_augment):
             self._chunk_T = 1
@@ -149,6 +151,8 @@ class Trainer:
         if self.mesh is not None:
             self.state = replicate(self.mesh, self.state)
         self._eval_step = jax.jit(self._eval_step_impl)
+        self._eval_scan_c = None     # compiled whole-sweep eval scan
+        self._eval_dev = None        # device-resident stacked test set
 
     def _log_param_counts(self) -> None:
         """Startup parameter-count log, matching the reference's
@@ -492,9 +496,8 @@ class Trainer:
             ms = [int(b.mdl[0]) for b, _ in lbs]
             ns = [b.batch_size for b, _ in lbs]
             if t == T:
-                def stack(xs):
-                    return jax.device_put(np.stack(xs))
-
+                stack = ((lambda xs: np.stack(xs)) if self._mp
+                         else (lambda xs: jax.device_put(np.stack(xs))))
                 args = [stack([b.img for b, _ in lbs]),
                         stack([b.msk for b, _ in lbs]),
                         stack([b.mdl for b, _ in lbs]),
@@ -505,8 +508,13 @@ class Trainer:
                              stack([b.mdl for b, _ in uls]),
                              stack([p for _, p in uls])]
                 scalars_c["rng"] = keys[done + 1: done + 1 + T]
+                sc = scalars_c
+                if self._mp:
+                    # per-host [T, B_local] stacks -> global [T, B_global]
+                    args = shard_batch(self.mesh, args, axis=1)
+                    sc = replicate(self.mesh, dict(scalars_c))
                 self.state, mets = self._fused_chunk(self.state, *args,
-                                                     scalars_c)
+                                                     sc)
                 pending.append((mets, ms, ns))
             else:  # remainder: per-iteration fused dispatches
                 for j, (b, p) in enumerate(lbs):
@@ -515,8 +523,12 @@ class Trainer:
                     if uses_ul:
                         ub, up = uls[j]
                         a += [ub.img, ub.msk, ub.mdl, up]
+                    sc = scalars
+                    if self._mp:
+                        a = shard_batch(self.mesh, a)
+                        sc = replicate(self.mesh, dict(scalars))
                     self.state, met = self._fused_step(self.state, *a,
-                                                       extra0, scalars)
+                                                       extra0, sc)
                     pending.append((met, [ms[j]], [ns[j]]))
             done += t
             if log_step and (done % log_step) < t:
@@ -550,10 +562,132 @@ class Trainer:
                 it += 1
 
     # ------------------------------------------------------------ validation
+    def _eval_stack(self, loader: BatchLoader):
+        """Stack the (static) padded test batches once: uint8 images/masks
+        [N,B,H,W], per-row validity mask [N,B] and host metadata.  The test
+        sweep never changes across epochs, so the arrays live on device for
+        the whole run (uint8: the reference-scale test set is ~100MB)."""
+        key = id(loader)
+        cached = getattr(self, "_eval_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        B = self.cfg.batch_size
+        ds = loader.dataset
+        imgs, msks, valid, metas = [], [], [], []
+        for idxs in loader.sampler:
+            fast = ds.gather_batch_u8(idxs)
+            if fast is not None:
+                img, msk = fast
+            else:
+                raws = [ds.get_raw(i) for i in idxs]
+                img = np.stack([r[0] for r in raws])
+                msk = np.stack([r[1] for r in raws])
+            names = [ds.samples[i][3] for i in idxs]
+            mdl0 = int(ds.samples[idxs[0]][2])
+            assert all(ds.samples[i][2] == mdl0 for i in idxs)
+            b = len(idxs)
+            if b < B:   # pad to the single compiled shape (zeroed rows, like
+                # the per-batch path's normalized-zero image padding)
+                pad = B - b
+                img = np.concatenate([img, np.zeros((pad,) + img.shape[1:],
+                                                    img.dtype)])
+                msk = np.concatenate([msk, np.zeros((pad,) + msk.shape[1:],
+                                                    msk.dtype)])
+            v = np.zeros(B, np.float32)
+            v[:b] = 1.0
+            imgs.append(img)
+            msks.append(msk)
+            valid.append(v)
+            metas.append((b, mdl0, names))
+        stack = (np.stack(imgs), np.stack(msks), np.stack(valid))
+        self._eval_cache = (key, (stack, metas))
+        return stack, metas
+
+    @staticmethod
+    def _eval_scan_fn(eval_step_impl):
+        """(params, [N,B,H,W] u8 imgs/msks, [N,B] valid) -> ([N], [N,B,H,W]).
+        Normalization matches the host ToTensor+Normalize(0.5,0.5); padded
+        rows become exactly 0.0 like the per-batch float padding."""
+        def run(params, imgs, msks, valid):
+            def body(_, xs):
+                img8, msk8, v = xs
+                img = (img8.astype(jnp.float32) / 255.0 - 0.5) / 0.5
+                img = (img * v[:, None, None])[..., None]
+                msk = msk8.astype(jnp.int32)
+                loss, pred = eval_step_impl(params, img, msk)
+                return 0, (loss, pred)
+            return jax.lax.scan(body, 0, (imgs, msks, valid))[1]
+
+        return run
+
+    def _validate_epoch_scan(self, loader, npys, meter):
+        """One (or per-host one) dispatch for the whole eval sweep."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        (imgs, msks, valid), metas = self._eval_stack(loader)
+        n = imgs.shape[0]
+        params = self.algo.eval_params(self.state)
+        if self._mp:
+            # shard the sweep across hosts: each process evals its padded
+            # contiguous slice locally (host-local params copy — a few MB),
+            # then the results are re-gathered on every host
+            from jax.experimental import multihost_utils
+            nproc = jax.process_count()
+            per = -(-n // nproc)
+            pad = per * nproc - n
+            if pad:
+                rep = lambda a: np.concatenate([a, a[-1:].repeat(pad, 0)])
+                imgs, msks, valid = rep(imgs), rep(msks), rep(valid)
+            pid = jax.process_index()
+            sl = slice(pid * per, (pid + 1) * per)
+            host_params = jax.tree_util.tree_map(np.asarray, params)
+            if self._eval_scan_c is None:
+                self._eval_scan_c = jax.jit(
+                    self._eval_scan_fn(self._eval_step_impl))
+            losses, preds = self._eval_scan_c(
+                host_params, imgs[sl], msks[sl], valid[sl])
+            losses, preds = jax.tree_util.tree_map(
+                lambda x: np.asarray(x),
+                multihost_utils.process_allgather((np.asarray(losses),
+                                                   np.asarray(preds))))
+            losses = losses.reshape(per * nproc)[:n]
+            preds = preds.reshape((per * nproc,) + preds.shape[2:])[:n]
+        else:
+            if self._eval_scan_c is None:
+                self._eval_scan_c = jax.jit(
+                    self._eval_scan_fn(self._eval_step_impl))
+            dev = self._eval_dev
+            if dev is None or dev[0] != id(loader):
+                sharding = None
+                if self.mesh is not None:
+                    sharding = NamedSharding(self.mesh,
+                                             PartitionSpec(None, "data"))
+                put = (partial(jax.device_put, device=sharding) if sharding
+                       else jax.device_put)
+                dev = (id(loader), (put(imgs), put(msks), put(valid)))
+                self._eval_dev = dev
+            losses, preds = self._eval_scan_c(params, *dev[1])
+            losses = np.asarray(losses)
+            preds = np.asarray(preds)
+
+        prd_npys = {k: np.zeros(v.shape, dtype=v.dtype) for k, v in npys.items()}
+        n_prd_slic = 0
+        for j, (b, mdl0, names) in enumerate(metas):
+            if meter is not None:
+                v, cnt = Meter.collect_loss_by(float(losses[j]), mdl0, b)
+                meter.accumulate(v, cnt)
+            for i in range(b):
+                m, pid_, z = names[i].split("_")
+                prd_npys[f"{m}_{pid_}"][int(z)] = preds[j, i]
+                n_prd_slic += 1
+        return n_prd_slic, prd_npys
+
     def validate_epoch(self, loader: BatchLoader, npys: Dict[str, np.ndarray],
                        meter: Optional[Meter] = None
                        ) -> Tuple[int, Dict[str, np.ndarray]]:
         cfg = self.cfg
+        if getattr(cfg, "eval_scan", False):
+            return self._validate_epoch_scan(loader, npys, meter)
         prd_npys = {k: np.zeros(v.shape, dtype=v.dtype) for k, v in npys.items()}
         n_prd_slic = 0
         params = self.algo.eval_params(self.state)
