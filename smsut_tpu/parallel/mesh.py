@@ -63,31 +63,34 @@ def shard_params_channelwise(mesh: Mesh, params: Any) -> Any:
     return jax.tree_util.tree_map(put, params)
 
 
-def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (batch) dim over the data axis."""
-    return NamedSharding(mesh, P("data"))
+def batch_sharding(mesh: Mesh, axis: int = 0) -> NamedSharding:
+    """Shard the batch dim (``axis``) over the data axis."""
+    return NamedSharding(mesh, P(*([None] * axis + ["data"])))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, tree: Any) -> Any:
-    """device_put a host batch pytree with the batch dim sharded over 'data'.
-    Leading dims must divide the mesh size (eval pads batches, so they do).
+def shard_batch(mesh: Mesh, tree: Any, axis: int = 0) -> Any:
+    """device_put a host batch pytree with the batch dim (``axis``) sharded
+    over 'data'.  Batch dims must divide the mesh size (eval pads batches,
+    so they do).  ``axis=1`` serves chunked dispatch's [T, B, ...] stacks.
 
     Multi-host: the tree holds this process's *local* slice (the loaders are
     wrapped in ``ShardedBatchSampler``); the slices are assembled into global
     arrays with ``jax.make_array_from_process_local_data``."""
-    sh = batch_sharding(mesh)
+    sh = batch_sharding(mesh, axis)
 
     if jax.process_count() > 1:
         nproc = jax.process_count()
 
         def put_local(x):
             x = np.asarray(x)
-            gshape = (x.shape[0] * nproc,) + x.shape[1:]
-            return jax.make_array_from_process_local_data(sh, x, gshape)
+            gshape = list(x.shape)
+            gshape[axis] *= nproc
+            return jax.make_array_from_process_local_data(sh, x,
+                                                          tuple(gshape))
 
         return jax.tree_util.tree_map(put_local, tree)
 

@@ -8,6 +8,7 @@ process-local assembly, runs N supervised train steps, and prints a JSON
 line with the final loss and a parameter checksum for the parent to compare
 against the single-process run."""
 import json
+import os
 import sys
 
 import jax
@@ -22,7 +23,8 @@ except Exception:
 
 from smsut_tpu.parallel import distributed
 
-assert distributed.initialize(), "SMSUT_* env vars must be set"
+if __name__ == "__main__":
+    assert distributed.initialize(), "SMSUT_* env vars must be set"
 
 import jax.numpy as jnp
 import numpy as np
@@ -32,7 +34,102 @@ from smsut_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from smsut_tpu.train.steps.supervised import SupervisedUNet
 
 
+def _state_checksum(state) -> float:
+    leaves = [l for l in jax.tree_util.tree_leaves(state)
+              if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating)]
+    return float(sum(float(jnp.sum(jnp.abs(l))) for l in leaves))
+
+
+def _gan_inputs(n_steps: int, gb: int, size: int = 64):
+    """Deterministic raw uint8 batches + augment params, identical on every
+    process (same seeds)."""
+    import random
+
+    from smsut_tpu.data.device_augment import DeviceAugment
+
+    cfg = Config(input_size=size, base_width=4, batch_size=gb,
+                 compute_dtype="float32",
+                 data_aug=dict(Config().data_aug, resizeCrop_size=size))
+    da = DeviceAugment(cfg, random.Random(5))
+    rng = np.random.default_rng(0)
+    mk = lambda: rng.integers(0, 255, (n_steps, gb, size, size)).astype(np.uint8)
+    mkm = lambda: rng.integers(0, 5, (n_steps, gb, size, size)).astype(np.uint8)
+    li, lm, ui, um = mk(), mkm(), mk(), mkm()
+    lmdl = np.tile(rng.integers(0, 4, (n_steps, 1)).astype(np.int32), (1, gb))
+    umdl = np.tile(rng.integers(0, 4, (n_steps, 1)).astype(np.int32), (1, gb))
+    lp = np.stack([da.sample_params_packed(gb, size, size)
+                   for _ in range(n_steps)])
+    up = np.stack([da.sample_params_packed(gb, size, size)
+                   for _ in range(n_steps)])
+    keys = np.stack([np.array([7, i], np.uint32) for i in range(n_steps)])
+    return cfg, da, (li, lm, lmdl, lp, ui, um, umdl, up, keys)
+
+
+def run_gan(n_steps: int = 2, gb: int = 8):
+    """uganConsis fused augment+D+GP+G steps over the global mesh: the
+    flagship multi-host path (VERDICT r2 #5)."""
+    from smsut_tpu.train.loop import make_fused_step
+    from smsut_tpu.train.steps.gan import UGANConsisAlgo
+
+    cfg, da, (li, lm, lmdl, lp, ui, um, umdl, up, keys) = _gan_inputs(n_steps, gb)
+    algo = UGANConsisAlgo(cfg)
+    mesh = make_mesh(batch_size=gb)
+    state = replicate(mesh, algo.init_state(jax.random.PRNGKey(0)))
+    fused = make_fused_step(algo, da)
+    sl = (distributed.local_batch_slice(gb) if jax.process_count() > 1
+          else slice(None))
+    base = algo.epoch_scalars(0)
+    for t in range(n_steps):
+        # augment params are per-sample rows: sliced like the batch
+        args = [li[t][sl], lm[t][sl], lmdl[t][sl], lp[t][sl],
+                ui[t][sl], um[t][sl], umdl[t][sl], up[t][sl]]
+        args = shard_batch(mesh, args)
+        sc = replicate(mesh, dict(base, rng=keys[t]))
+        state, metrics = fused(state, *args, {}, sc)
+    return float(metrics["loss"]), _state_checksum(state)
+
+
+def run_chunked(T: int = 2, n_chunks: int = 2, gb: int = 8):
+    """Chunked dispatch (T iterations per execute) over the global mesh —
+    the multi-host T>1 path (VERDICT r2 #5)."""
+    from smsut_tpu.train.loop import make_fused_chunk
+
+    n_steps = T * n_chunks
+    cfg, da, (li, lm, lmdl, lp, ui, um, umdl, up, keys) = _gan_inputs(n_steps, gb)
+    algo = SupervisedUNet(cfg)
+    mesh = make_mesh(batch_size=gb)
+    state = replicate(mesh, algo.init_state(jax.random.PRNGKey(0)))
+    chunk = make_fused_chunk(algo, da, T)
+    sl = (distributed.local_batch_slice(gb) if jax.process_count() > 1
+          else slice(None))
+    for c in range(n_chunks):
+        t0 = c * T
+        args = [li[t0:t0 + T, sl], lm[t0:t0 + T, sl], lmdl[t0:t0 + T, sl],
+                lp[t0:t0 + T, sl]]
+        args = shard_batch(mesh, args, axis=1)
+        sc = replicate(mesh, {"rng": keys[t0:t0 + T]})
+        state, mets = chunk(state, *args, sc)
+    return float(np.asarray(mets["loss"])[-1]), _state_checksum(state)
+
+
 def main(n_steps: int = 3, global_batch: int = 8) -> None:
+    mode = os.environ.get("SMSUT_MODE", "step")
+    if mode == "gan":
+        loss, cksum = run_gan()
+        if distributed.is_primary():
+            print(json.dumps({"loss": loss, "checksum": cksum}))
+        sys.stdout.flush()
+        return
+    if mode == "chunked":
+        loss, cksum = run_chunked()
+        if distributed.is_primary():
+            print(json.dumps({"loss": loss, "checksum": cksum}))
+        sys.stdout.flush()
+        return
+    main_step(n_steps, global_batch)
+
+
+def main_step(n_steps: int = 3, global_batch: int = 8) -> None:
     assert jax.device_count() == 8 and jax.local_device_count() == 4
     cfg = Config(input_size=64, base_width=4, batch_size=global_batch)
     algo = SupervisedUNet(cfg)
