@@ -140,6 +140,38 @@ def step_flops(algo, state, batch, scalars) -> float:
         return 0.0
 
 
+def model_math_flops(model: str, cfg, batch_override: int = 0) -> float:
+    """FLOPs of the SAME step compiled with pack_levels=0 — i.e. the model
+    math without the packed kernels' structured zeros (VERDICT r2 #2: the
+    headline TFLOP/s must not flatter the padded program).  Returns 0.0 when
+    the effective config is already unpacked (executed == model math)."""
+    global _CFG_OVERRIDES
+    eff = cfg.replace(**_CFG_OVERRIDES) if _CFG_OVERRIDES else cfg
+    if not getattr(eff, "pack_levels", 0):
+        return 0.0
+    saved = dict(_CFG_OVERRIDES)
+    _CFG_OVERRIDES = dict(saved, pack_levels=0)
+    try:
+        algo0, st0, b0, sc0 = make_algo(model, cfg, batch_override)
+        return step_flops(algo0, st0, b0, sc0)
+    finally:
+        _CFG_OVERRIDES = saved
+
+
+def _flops_fields(flops: float, mflops: float, sec: float, peak: float) -> dict:
+    """Executed and model-math FLOPs/throughput/MFU rows."""
+    out = {
+        "flops_per_step": flops,
+        "tflops_per_sec": flops / sec / 1e12,
+        "mfu": (flops / sec / peak) if peak else 0.0,
+    }
+    mf = mflops or flops
+    out["model_flops_per_step"] = mf
+    out["model_tflops_per_sec"] = mf / sec / 1e12
+    out["model_mfu"] = (mf / sec / peak) if peak else 0.0
+    return out
+
+
 def _make_checksum():
     """A tiny jit that folds every array leaf of (state, metrics) into one
     scalar — fetching its value to the host forces the whole step chain,
@@ -201,20 +233,18 @@ def bench_jax(model: str, iters: int = 30, use_pallas: bool = False,
     algo, state, batch_d, scalars = make_algo(model, cfg, batch)
     bs = batch or cfg.batch_size
     flops = step_flops(algo, state, batch_d, scalars)
+    mflops = model_math_flops(model, cfg, batch)
 
     sec, _ = time_step(algo.train_step, state, batch_d, scalars, iters)
     peak, kind = chip_peak()
-    tflops = flops / sec / 1e12
-    mfu = (flops / sec / peak) if peak else 0.0
-    return {
+    out = {
         "slices_per_sec": bs / sec,
         "ms_per_step": sec * 1e3,
-        "flops_per_step": flops,
-        "tflops_per_sec": tflops,
-        "mfu": mfu,
         "device": kind,
-        "suspect": bool(peak and mfu > 1.0),
     }
+    out.update(_flops_fields(flops, mflops, sec, peak))
+    out["suspect"] = bool(peak and out["mfu"] > 1.0)
+    return out
 
 
 def bench_jax_scan(model: str, iters: int = 50, use_pallas: bool = False,
@@ -229,6 +259,7 @@ def bench_jax_scan(model: str, iters: int = 50, use_pallas: bool = False,
     algo, state, batch_d, scalars = make_algo(model, cfg, batch)
     bs = batch or cfg.batch_size
     flops = step_flops(algo, state, batch_d, scalars)
+    mflops = model_math_flops(model, cfg, batch)
 
     @jax.jit
     def run(state):
@@ -246,16 +277,14 @@ def bench_jax_scan(model: str, iters: int = 50, use_pallas: bool = False,
     float(jax.device_get(cksum((st, losses))))
     sec = (time.perf_counter() - tic) / iters
     peak, kind = chip_peak()
-    mfu = (flops / sec / peak) if peak else 0.0
-    return {
+    out = {
         "slices_per_sec": bs / sec,
         "ms_per_step": sec * 1e3,
-        "flops_per_step": flops,
-        "tflops_per_sec": flops / sec / 1e12,
-        "mfu": mfu,
         "device": kind,
-        "suspect": bool(peak and mfu > 1.0),
     }
+    out.update(_flops_fields(flops, mflops, sec, peak))
+    out["suspect"] = bool(peak and out["mfu"] > 1.0)
+    return out
 
 
 def bench_torch_cpu(iters: int = 2, warmup: int = 1) -> float:
@@ -364,6 +393,8 @@ def bench_pipeline(device_augment: bool, iters: int = 30) -> dict:
     root = tempfile.mkdtemp(prefix="smsut-bench-")
     make_synthetic_dataset(root, n_patients_per_modality=3, n_slice=8, size=256)
     cfg = Config(base_root=root, device_augment=device_augment)
+    if _CFG_OVERRIDES:  # --no-pack / --set apply to pipeline mode too
+        cfg = cfg.replace(**_CFG_OVERRIDES)
     # chunked dispatch drains T batches at once — keep the producer ahead
     cfg = cfg.replace(prefetch_depth=max(cfg.prefetch_depth,
                                          2 * int(cfg.steps_per_dispatch)))
@@ -438,19 +469,61 @@ def bench_pipeline(device_augment: bool, iters: int = 30) -> dict:
             "mfu": mfu, "device": kind, "suspect": bool(peak and mfu > 1.0)}
 
 
+def bench_eval(eval_scan: bool, repeats: int = 3) -> dict:
+    """Eval-epoch wall time (validate_epoch over the synthetic 256^2 test
+    set): the whole-sweep scan path vs the per-batch dispatch path."""
+    import tempfile
+
+    from smsut_tpu.config import Config
+    from smsut_tpu.data.dataset import get_label_npys, get_loader
+    from smsut_tpu.data.synthetic import make_synthetic_dataset
+    from smsut_tpu.train.loop import Trainer
+    from smsut_tpu.train.steps.supervised import SupervisedUNet
+
+    root = tempfile.mkdtemp(prefix="smsut-bench-eval-")
+    make_synthetic_dataset(root, n_patients_per_modality=6, n_slice=16,
+                           size=256)
+    cfg = Config(base_root=root, expr_root=tempfile.mkdtemp(
+        prefix="smsut-bench-expr-"), eval_scan=eval_scan)
+    if _CFG_OVERRIDES:
+        cfg = cfg.replace(**_CFG_OVERRIDES)
+    algo = SupervisedUNet(cfg)
+    trainer = Trainer(algo, cfg, "test")
+    loader = get_loader(root, "test", 0, cfg.batch_size, cfg=cfg)
+    n_gt, gt_npys = get_label_npys(root, "test", cfg.split_yaml)
+
+    n, _ = trainer.validate_epoch(loader, gt_npys, None)   # compile + stack
+    assert n == n_gt
+    tic = time.perf_counter()
+    for _ in range(repeats):
+        trainer.validate_epoch(loader, gt_npys, None)
+    sec = (time.perf_counter() - tic) / repeats
+    _, kind = chip_peak()
+    return {"slices_per_sec": n_gt / sec, "ms_per_step": sec * 1e3,
+            "device": kind, "suspect": False, "n_slices": n_gt}
+
+
 def _emit(metric: str, res: dict, vs_baseline: float = 0.0):
-    print(json.dumps({
+    out = {
         "metric": metric,
         "value": round(res["slices_per_sec"], 2),
         "unit": "slices/s",
         "vs_baseline": round(vs_baseline, 2),
         "ms_per_step": round(res["ms_per_step"], 3),
-        "flops_per_step": round(res["flops_per_step"]),
-        "tflops_per_sec": round(res["tflops_per_sec"], 2),
-        "mfu": round(res["mfu"], 4),
         "device": res["device"],
         "suspect": res["suspect"],
-    }))
+    }
+    if res.get("flops_per_step"):
+        out["flops_per_step"] = round(res["flops_per_step"])
+        out["tflops_per_sec"] = round(res["tflops_per_sec"], 2)
+        out["mfu"] = round(res["mfu"], 4)
+    if res.get("model_flops_per_step"):
+        out["model_flops_per_step"] = round(res["model_flops_per_step"])
+        out["model_tflops_per_sec"] = round(res["model_tflops_per_sec"], 2)
+        out["model_mfu"] = round(res["model_mfu"], 4)
+    if "n_slices" in res:
+        out["n_slices"] = res["n_slices"]
+    print(json.dumps(out))
 
 
 def main():
@@ -470,6 +543,9 @@ def main():
                     help="bench every algorithm, one JSON line each")
     ap.add_argument("--no-pack", action="store_true",
                     help="disable the space-to-depth packed stem (A/B)")
+    ap.add_argument("--eval", dest="eval_mode", choices=("scan", "batch"),
+                    default=None,
+                    help="bench an eval epoch (whole-sweep scan vs per-batch)")
     args = ap.parse_args()
     if args.no_pack:
         _CFG_OVERRIDES["pack_levels"] = 0
@@ -496,6 +572,11 @@ def main():
     if args.pipeline:
         res = bench_pipeline(args.pipeline == "device", args.iters)
         _emit(f"pipeline_{args.pipeline}_aug_slices_per_sec_per_chip", res)
+        return
+
+    if args.eval_mode:
+        res = bench_eval(eval_scan=(args.eval_mode == "scan"))
+        _emit(f"eval_{args.eval_mode}_slices_per_sec_per_chip", res)
         return
 
     res = bench_jax(args.model, args.iters, use_pallas=args.pallas,

@@ -106,9 +106,121 @@ def pack_kernel(w: jax.Array, in_segments: Sequence[int]) -> jax.Array:
     return wp
 
 
+# Packed-conv lowering selector ("v1" | "v2" | "v2k3"): "v2" cuts the
+# executed structured-zero FLOPs (k=3: [3,3] 25%-dense kernel -> [2,2]
+# 56%-dense + shifted output slices, 144 -> 64 MACs/CinCout; k=1:
+# block-diagonal matmul -> dense subpixel einsum, 4x cut); "v2k3" applies
+# the k=3 rewrite only; "v1" is the original single-SAME-conv packing.
+# Identical math in every mode (tests/test_packed.py runs all).
+# Measured (round 3, supervised step, tunnel chip): v1 6.9ms @ 363 GF
+# executed beats v2 13.5ms @ 209 GF — the zero work rides the MXU at full
+# tile speed while v2's unaligned shifted slices and lane-split reshapes
+# stall it; see BASELINE.md.
+import os as _os
+
+CONV_IMPL = _os.environ.get("SMSUT_PACKED_IMPL", "v1")
+
+
+def pack_kernel_v2_k3(w: jax.Array, in_segments: Sequence[int]) -> jax.Array:
+    """[3,3,Cin,Cout] -> [2,2,4Cin,4Cout] for the padded-VALID formulation.
+
+    Output subpixel dy of packed pixel i covers packed rows {i-1+dy, i+dy};
+    running ONE VALID [2,2] conv over the 1-padded packed grid yields every
+    such window at output position i+dy, so y[dy] = out[dy : dy+H'].  Slot
+    (t, ay) of subpixel dy holds original tap u = 2t + dy + ay - 1 (when
+    0 <= u < 3; 9 of 16 slots per (dy,dx) — vs 9 of 36 in the v1 kernel)."""
+    k, _, cin, cout = w.shape
+    assert k == 3, k
+    seg_off, off = [], 0
+    for cseg in in_segments:
+        seg_off.append(off)
+        off += 4 * cseg
+    wp = jnp.zeros((2, 2, off, 4 * cout), w.dtype)
+    for dy in (0, 1):
+        for dx in (0, 1):
+            o0 = (dy * 2 + dx) * cout
+            for t_r in (0, 1):
+                for ay in (0, 1):
+                    u = 2 * t_r + dy + ay - 1
+                    if not 0 <= u < 3:
+                        continue
+                    for t_c in (0, 1):
+                        for ax in (0, 1):
+                            v = 2 * t_c + dx + ax - 1
+                            if not 0 <= v < 3:
+                                continue
+                            s_in = ay * 2 + ax
+                            cbase = 0
+                            for cseg, soff in zip(in_segments, seg_off):
+                                wp = wp.at[
+                                    t_r, t_c,
+                                    soff + s_in * cseg: soff + (s_in + 1) * cseg,
+                                    o0: o0 + cout].set(
+                                    w[u, v, cbase: cbase + cseg, :])
+                                cbase += cseg
+    return wp
+
+
+def _packed_conv_v2_k3(x: jax.Array, w: jax.Array,
+                       in_segments: Sequence[int], dtype: Dtype) -> jax.Array:
+    wp = pack_kernel_v2_k3(w, in_segments).astype(dtype)
+    cout = w.shape[-1]
+    h, wd = x.shape[1], x.shape[2]
+    xp = jnp.pad(x.astype(dtype), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    full = jax.lax.conv_general_dilated(
+        xp, wp, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))      # [B, H'+1, W'+1, 4Co]
+    parts = []
+    for dy in (0, 1):
+        for dx in (0, 1):
+            s = dy * 2 + dx
+            parts.append(full[:, dy: dy + h, dx: dx + wd,
+                              s * cout: (s + 1) * cout])
+    return jnp.concatenate(parts, axis=-1)
+
+
+def _packed_conv_v2_k1(x: jax.Array, w: jax.Array,
+                       in_segments: Sequence[int], dtype: Dtype) -> jax.Array:
+    """1x1 packed conv: each output subpixel reads only its own input
+    subpixel, so with a plane-major channel order it is a dense grouped
+    conv (feature_group_count=4) — no structured zeros at all.
+
+    The packed layout is segment-major THEN subpixel-major; regroup the
+    kernel's input rows to plane-major to match a channel-permuted input...
+    instead we permute nothing: build the grouped kernel over the
+    plane-major order and permute the INPUT channels once (a lane shuffle
+    XLA folds into the producing op) when there are multiple segments; the
+    single-segment case (s*C+c) is already plane-major."""
+    cin = sum(in_segments)
+    cout = w.shape[-1]
+    if len(in_segments) > 1:
+        # channel order [seg][s][c] -> [s][seg][c]
+        perm = []
+        seg_off, off = [], 0
+        for cseg in in_segments:
+            seg_off.append(off)
+            off += 4 * cseg
+        for s in range(4):
+            for cseg, soff in zip(in_segments, seg_off):
+                perm.extend(range(soff + s * cseg, soff + (s + 1) * cseg))
+        x = jnp.take(x, jnp.asarray(perm), axis=-1)
+    # dense contraction with the subpixel dim as a batch-like axis (an
+    # einsum rather than feature_group_count=4: GSPMD cannot partition a
+    # grouped conv's output features under channel-wise tensor parallelism)
+    b, h, wd, _ = x.shape
+    xs = x.astype(dtype).reshape(b, h, wd, 4, cin)
+    y = jnp.einsum("bhwsc,co->bhwso", xs, w[0, 0].astype(dtype))
+    return y.reshape(b, h, wd, 4 * cout)
+
+
 def packed_conv_apply(x: jax.Array, w: jax.Array,
                       in_segments: Sequence[int], dtype: Dtype) -> jax.Array:
     """Packed-space equivalent of the original SAME conv with kernel ``w``."""
+    k = w.shape[0]
+    if CONV_IMPL in ("v2", "v2k3") and k == 3:
+        return _packed_conv_v2_k3(x, w, in_segments, dtype)
+    if CONV_IMPL == "v2" and k == 1:
+        return _packed_conv_v2_k1(x, w, in_segments, dtype)
     wp = pack_kernel(w, in_segments).astype(dtype)
     kp = wp.shape[0]
     pad = [(kp // 2, kp // 2)] * 2 if kp > 1 else [(0, 0)] * 2

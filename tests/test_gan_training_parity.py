@@ -218,6 +218,79 @@ def test_gan_training_steps_match(rng):
     assert np.max(np.abs(got_fc - want_fc)) < 8 * cfg.lr
 
 
+@pytest.mark.slow
+def test_gan_trajectory_within_f32_chaos_envelope(rng):
+    """VERDICT r2 #8: the f32-chaos argument as a tested bound.  A torch
+    float64 twin provides the near-exact reference trajectory; torch-f32 vs
+    torch-f64 (identical code) measures the intrinsic f32 divergence
+    envelope per step; the jax-f32 trajectory must stay within a small
+    multiple of that envelope for 3 steps — i.e. jax diverges from the
+    exact trajectory no faster than torch itself does."""
+    import copy
+
+    cfg = Config(input_size=SIZE, base_width=W, batch_size=2,
+                 compute_dtype="float32", num_iter_per_epoch=10, max_epoch=2)
+    algo = UGANTrainerAlgo(cfg)
+    state = algo.init_state(jax.random.PRNGKey(0))
+
+    x = rng.normal(size=(2, SIZE, SIZE, 1)).astype(np.float32) * 0.5
+    y = rng.integers(0, 5, size=(2, SIZE, SIZE))
+    mdl = np.array([1, 1], np.int32)
+
+    twins = {}
+    for prec in ("f32", "f64"):
+        t_g = TUGAN(w=W, out_ch=5, n_modal=N_MODAL)
+        t_d = TDisc(size=SIZE, n_modal=N_MODAL, w=W, max_w=512)
+        _load_tugan(t_g, state.g_params)
+        _load_tdisc(t_d, state.d_params)
+        if prec == "f64":
+            t_g, t_d = t_g.double(), t_d.double()
+        opt_g = torch.optim.SGD(t_g.parameters(), lr=cfg.lr, momentum=0.9,
+                                weight_decay=cfg.weight_decay)
+        opt_d = torch.optim.Adam(t_d.parameters(), lr=cfg.lr,
+                                 betas=(0.9, 0.999),
+                                 weight_decay=cfg.weight_decay)
+        twins[prec] = (t_g, t_d, opt_g, opt_d)
+
+    tx32 = torch.tensor(x.transpose(0, 3, 1, 2))
+    ty = torch.tensor(y)
+    tm = torch.tensor(mdl, dtype=torch.long)
+    batch = {"img": jnp.asarray(x), "msk": jnp.asarray(y),
+             "mdl": jnp.asarray(mdl)}
+    lam_shp = float(algo.epoch_scalars(3)["lambda_shp"])
+
+    names = ("D_real", "D_fake", "D_cls", "D_gp", "G_fake", "G_rec",
+             "G_cls", "G_seg", "G_shp")
+    for k in range(3):
+        key = jax.random.PRNGKey(100 + k)
+        scalars = {"lambda_shp": np.float32(lam_shp), "rng": key}
+        state, metrics = algo.train_step(state, batch, scalars)
+
+        r_mj, r_alpha, _ = jax.random.split(key, 3)
+        mj = int(jax.random.randint(r_mj, (), 0, N_MODAL))
+        alpha_np = np.asarray(jax.random.normal(r_alpha, (2, 1, 1, 1)))
+
+        refs = {}
+        for prec, (t_g, t_d, opt_g, opt_d) in twins.items():
+            dt = torch.float64 if prec == "f64" else torch.float32
+            refs[prec] = _torch_gan_step(
+                t_g, t_d, opt_g, opt_d, cfg, tx32.to(dt), ty, tm, mj,
+                torch.tensor(alpha_np, dtype=dt), lam_shp, it=k)
+
+        for name in names:
+            exact = refs["f64"][name]
+            scale = max(abs(exact), 1.0)
+            self_div = abs(refs["f32"][name] - exact) / scale
+            jax_div = abs(float(metrics[name]) - exact) / scale
+            # jax-f32 must track the exact trajectory within a small multiple
+            # of torch's own f32 chaos (floor covers rounding when torch-f32
+            # happens to land exactly)
+            env = max(4.0 * self_div, 5e-3 if k == 0 else 5e-2)
+            assert jax_div <= env, (
+                f"step {k} {name}: jax drift {jax_div:.3e} exceeds envelope "
+                f"{env:.3e} (torch f32 self-drift {self_div:.3e})")
+
+
 def test_adam_poly_lag_matches_torch():
     """The D optimizer rule in isolation: make_adam (coupled L2 + bias
     correction + poly-LR one-step lag) tracks torch.optim.Adam +

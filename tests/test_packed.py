@@ -50,6 +50,44 @@ def test_pack_kernel_concat_segments(rng):
                                np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
+def test_packed_conv_apply_impls_match_same_conv(rng):
+    """Both conv lowerings (v1 single SAME conv, v2 reduced-zero forms) ==
+    the original SAME conv, incl. segmented inputs."""
+    from smsut_tpu.models import packed as pk
+
+    for impl in ("v1", "v2"):
+        old = pk.CONV_IMPL
+        pk.CONV_IMPL = impl
+        try:
+            for k in (1, 3, 5):
+                x = jnp.asarray(rng.normal(size=(2, 16, 16, 6)).astype(np.float32))
+                w = jnp.asarray(rng.normal(size=(k, k, 6, 10)).astype(np.float32))
+                ref = jax.lax.conv_general_dilated(
+                    x, w, (1, 1), [(k // 2, k // 2)] * 2,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                got = pk.packed_conv_apply(space_to_depth(x), w, (6,),
+                                           jnp.float32)
+                np.testing.assert_allclose(
+                    np.asarray(depth_to_space(got, 10)), np.asarray(ref),
+                    rtol=2e-5, atol=2e-5, err_msg=f"{impl} k={k}")
+            # segmented (concat) input, k = 1 and 3
+            x1 = jnp.asarray(rng.normal(size=(1, 8, 8, 4)).astype(np.float32))
+            x2 = jnp.asarray(rng.normal(size=(1, 8, 8, 3)).astype(np.float32))
+            xp = jnp.concatenate([space_to_depth(x1), space_to_depth(x2)], -1)
+            for k in (1, 3):
+                w = jnp.asarray(rng.normal(size=(k, k, 7, 5)).astype(np.float32))
+                ref = jax.lax.conv_general_dilated(
+                    jnp.concatenate([x1, x2], -1), w, (1, 1),
+                    [(k // 2, k // 2)] * 2,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                got = pk.packed_conv_apply(xp, w, (4, 3), jnp.float32)
+                np.testing.assert_allclose(
+                    np.asarray(depth_to_space(got, 5)), np.asarray(ref),
+                    rtol=2e-5, atol=2e-5, err_msg=f"{impl} seg k={k}")
+        finally:
+            pk.CONV_IMPL = old
+
+
 @pytest.fixture(params=[1, 2])
 def unet_pair(request):
     kw = dict(out_ch=5, width=8, norm_type="instance", act_type="lrelu",
