@@ -546,9 +546,20 @@ def main():
     ap.add_argument("--eval", dest="eval_mode", choices=("scan", "batch"),
                     default=None,
                     help="bench an eval epoch (whole-sweep scan vs per-batch)")
+    ap.add_argument("--set", dest="sets", action="append", default=[],
+                    metavar="K=V", help="config override, like the trainer CLI")
     args = ap.parse_args()
     if args.no_pack:
         _CFG_OVERRIDES["pack_levels"] = 0
+    if args.sets:
+        import ast
+
+        for item in args.sets:
+            key, _, raw = item.partition("=")
+            try:
+                _CFG_OVERRIDES[key] = ast.literal_eval(raw)
+            except (ValueError, SyntaxError):
+                _CFG_OVERRIDES[key] = raw
 
     try:  # persistent compile cache (TPU compiles through the tunnel are slow)
         from smsut_tpu.train.cli import enable_compilation_cache
