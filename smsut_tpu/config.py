@@ -124,7 +124,9 @@ class Config:
     # Set 1 for strict single-dispatch-per-iteration behaviour.  Applies to
     # the fused device-augment path on a single host; algorithms with
     # host-side per-iteration batches (CoraNet stage B) fall back to 1.
-    steps_per_dispatch: int = 4
+    # Measured A/B (round 3, tunnel chip): T=4 17.8, T=8 12.4 (the device
+    # floor), T=16 42.4 ms/iter (the 1-CPU host producer starves) -> 8.
+    steps_per_dispatch: int = 8
     # stage train batches onto the device from the loader's producer thread
     # (double-buffered device_put): the H2D transfer of batch i+1 overlaps
     # the compute of batch i, so the train loop is dispatch-bound rather
