@@ -231,7 +231,9 @@ def bench_jax(model: str, iters: int = 30, use_pallas: bool = False,
 
     cfg = Config(use_pallas=use_pallas)
     algo, state, batch_d, scalars = make_algo(model, cfg, batch)
-    bs = batch or cfg.batch_size
+    # slices/s counts the LABELED batch actually in the compiled program
+    # (--set batch_size overrides must be reflected — round-3 fix)
+    bs = batch or _CFG_OVERRIDES.get("batch_size", cfg.batch_size)
     flops = step_flops(algo, state, batch_d, scalars)
     mflops = model_math_flops(model, cfg, batch)
 
@@ -257,7 +259,9 @@ def bench_jax_scan(model: str, iters: int = 50, use_pallas: bool = False,
 
     cfg = Config(use_pallas=use_pallas)
     algo, state, batch_d, scalars = make_algo(model, cfg, batch)
-    bs = batch or cfg.batch_size
+    # slices/s counts the LABELED batch actually in the compiled program
+    # (--set batch_size overrides must be reflected — round-3 fix)
+    bs = batch or _CFG_OVERRIDES.get("batch_size", cfg.batch_size)
     flops = step_flops(algo, state, batch_d, scalars)
     mflops = model_math_flops(model, cfg, batch)
 

@@ -110,6 +110,12 @@ class Config:
     # (identical math, ~4x fuller TPU lanes on the dominant 256^2/128^2
     # activations; see models/packed.py and tests/test_packed.py).
     pack_levels: int = 2
+    # fuse the packed pool->space_to_depth level transition so the narrow
+    # [B,H',W',C] pooled tensor never materializes (8x lane-padded in HBM).
+    # Measured: wins at batch>=32 (supervised 36.6->35.4 ms), loses at the
+    # GAN's batch 16 (92.9->102.9 — the tensor was VMEM-resident anyway).
+    # Opt in for large-batch supervised runs (BASELINE.md round 3).
+    pool_pack_fused: bool = False
     # run joint augmentation on-device as one fused warp (this host has a
     # single CPU; the reference's host augmentation chain costs ~7ms/slice
     # vs a ~0.6ms TPU step).  False selects the strict-parity host pipeline.

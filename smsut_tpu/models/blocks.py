@@ -148,9 +148,8 @@ class Encoder(nn.Module):
                                         self.act_type, self.dtype,
                                         name=f"layer{i + 1}")(x)
                 skips.append(x)             # packed [B,H/2^(i+1),...,4*mult*w]
-                x = pk.packed_max_pool_to_unpacked(x, mult * w)
-                if i + 1 < self.pack_levels:
-                    x = pk.space_to_depth(x)
+                x = pk.pool_to_next_level(x, mult * w,
+                                          last=(i + 1 >= self.pack_levels))
                 prev = mult * w
             start = self.pack_levels
         else:

@@ -402,6 +402,50 @@ def packed_max_pool_to_unpacked(x: jax.Array, c: int) -> jax.Array:
     return m
 
 
+_POOL_FUSED = False
+
+
+def set_pool_fused(enabled: bool) -> None:
+    """Trace-time toggle (Config.pool_pack_fused): route the packed
+    level-to-level transition through :func:`packed_max_pool_to_packed`.
+    Measured round 3: wins at batch 32 (supervised 36.6->35.4 ms, the
+    narrow pooled tensor no longer spills 8x-padded to HBM) but LOSES at
+    the GAN's batch 16 (92.9->102.9 ms, the per-slice s2d transposes cost
+    more than the VMEM-resident narrow tensor) — hence opt-in, for
+    large-batch supervised runs."""
+    global _POOL_FUSED
+    _POOL_FUSED = enabled
+
+
+def pool_to_next_level(x: jax.Array, c: int, last: bool) -> jax.Array:
+    """The packed encoder's level transition: maxpool 2x2, then s2d for the
+    next packed level (``last=False``) or unpack (``last=True``)."""
+    if last:
+        return packed_max_pool_to_unpacked(x, c)
+    if _POOL_FUSED:
+        return packed_max_pool_to_packed(x, c)
+    return space_to_depth(packed_max_pool_to_unpacked(x, c))
+
+
+def packed_max_pool_to_packed(x: jax.Array, c: int) -> jax.Array:
+    """MaxPool 2x2 + space_to_depth for the NEXT packed level, fused:
+    ``space_to_depth(packed_max_pool_to_unpacked(x, c))`` without ever
+    materializing the narrow [B,H,W,C] intermediate.
+
+    Why: with C < 32 that intermediate pads its minor (lane) dim up to
+    128 — at batch 32 the level-0 pooled tensor [B,128,128,16] costs 8x its
+    bytes in HBM traffic and dominates the step (profiled round 3, the
+    batch-scaling regression).  space_to_depth is a pure index permutation,
+    so it commutes with the element-wise subpixel max:
+    ``s2d(max_s x[..., sC:(s+1)C]) == max_s s2d(x)[..., sC:(s+1)C]``
+    slice-wise — every tensor here keeps the lane-dense 4C channel width.
+    Identical math to pool-then-pack (tests/test_packed.py)."""
+    m = space_to_depth(x[..., :c])
+    for s in range(1, 4):
+        m = jnp.maximum(m, space_to_depth(x[..., s * c: (s + 1) * c]))
+    return m
+
+
 class _Kernel(nn.Module):
     """Bare kernel parameter holder (used to mirror a nested module's
     parameter path, e.g. up1/up/kernel of nn.ConvTranspose)."""

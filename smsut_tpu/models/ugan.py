@@ -66,9 +66,8 @@ class UGANEncoder(nn.Module):
                                         self.act_type, self.dtype,
                                         name=f"enc{i + 1}")(x)
                 skips.append(x)          # packed
-                x = pk.packed_max_pool_to_unpacked(x, mult * w)
-                if i + 1 < self.pack_levels:
-                    x = pk.space_to_depth(x)
+                x = pk.pool_to_next_level(x, mult * w,
+                                          last=(i + 1 >= self.pack_levels))
                 prev = mult * w
             start = self.pack_levels
         else:

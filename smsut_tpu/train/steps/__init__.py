@@ -7,6 +7,9 @@ from smsut_tpu.models.layers import set_fused_norm
 
 def setup_compute(cfg: Config):
     """Shared algorithm setup: resolve the activation dtype and arm the fused
-    Pallas norm path when requested."""
+    Pallas norm path / fused pool transition when requested."""
     set_fused_norm(cfg.use_pallas)
+    from smsut_tpu.models import packed as pk
+
+    pk.set_pool_fused(getattr(cfg, "pool_pack_fused", False))
     return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32

@@ -16,6 +16,40 @@ def test_space_to_depth_roundtrip(rng):
     assert jnp.allclose(depth_to_space(space_to_depth(x), 3), x)
 
 
+def test_packed_pool_fused_matches_pool_then_pack(rng):
+    """packed_max_pool_to_packed == s2d(packed_max_pool_to_unpacked): the
+    lane-dense fused transition is an index-permutation of the same max."""
+    from smsut_tpu.models.packed import (
+        packed_max_pool_to_packed,
+        packed_max_pool_to_unpacked,
+    )
+
+    c = 5
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 4 * c)).astype(np.float32))
+    ref = space_to_depth(packed_max_pool_to_unpacked(x, c))
+    out = packed_max_pool_to_packed(x, c)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_pool_pack_fused_toggle_same_forward(rng):
+    """Config.pool_pack_fused routes the packed transition through the
+    fused op; the model function must be bit-identical either way."""
+    from smsut_tpu.models import packed as pk
+
+    net = UNet(out_ch=4, width=8, norm_type="instance", pack_levels=2)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 1)).astype(np.float32))
+    params = net.init(jax.random.PRNGKey(0), x)["params"]
+    try:
+        pk.set_pool_fused(False)
+        y0 = net.apply({"params": params}, x)
+        pk.set_pool_fused(True)
+        y1 = net.apply({"params": params}, x)
+    finally:
+        pk.set_pool_fused(False)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_pack_kernel_conv_equivalence(rng):
     """Packed conv == original SAME conv, for k in {1,3,5}."""
     for k in (1, 3, 5):
