@@ -125,3 +125,15 @@ def test_deterministic_given_seed(rng):
     b = DeviceAugment(_cfg(), random.Random(7))(img, msk)
     np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
     np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+
+def test_color_jitter_order_commutes(rng):
+    """Brightness (x -> b*x) and contrast (x -> c*x + (1-c)*mean(x)) commute
+    exactly on grayscale (mean(b*x) = b*mean(x)), so the device warp's fixed
+    brightness->contrast order equals the reference's shuffled order up to
+    PIL's per-op uint8 rounding (PARITY.md)."""
+    x = rng.random((64, 64)).astype(np.float64) * 255.0
+    for b, c in [(0.6, 1.4), (1.4, 0.6), (0.87, 1.13)]:
+        bc = (x * b - (x * b).mean()) * c + (x * b).mean()
+        cb = ((x - x.mean()) * c + x.mean()) * b
+        np.testing.assert_allclose(bc, cb, rtol=1e-12)
