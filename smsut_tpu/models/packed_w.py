@@ -1,0 +1,216 @@
+# -*- coding: utf-8 -*-
+"""W-only packed execution — functional core (round 3 experiment).
+
+Like `models/packed.py` (2x2 space-to-depth) this trades structured-zero
+conv FLOPs for fuller TPU lanes, but packs ONLY the W dimension:
+``[B, H, W, C] -> [B, H, W/p, p*C]`` with packed channel ``dx*C + c``.
+
+Why: in a C-minor NHWC layout the pair (dx, c) of ``w = p*j + dx`` is
+already CONTIGUOUS in memory, so
+
+  * pack / unpack / re-pack are pure ``reshape`` bitcasts (the 2x2 scheme
+    needs 6-D transposes that profile at ~5 ms/step in the GAN —
+    BASELINE.md round-3 layout-copy investigation);
+  * the level transition (2x2/2 maxpool) is an H-strided max plus a
+    channel-slice max — no transpose, and the result is ALREADY the next
+    level's packed form (another reshape);
+  * any W-dim stencil (bilinear upsample taps) can flatten to the
+    original W axis for free, compute, and re-pack for free;
+  * at p=8 a C=16 level-0 tensor fills all 128 lanes (the 2x2 scheme's
+    64-lane tensors pay 2x padded HBM bytes on every element-wise pass
+    and ping-pong between C-minor and W-minor conv layouts).
+
+Arithmetic is the SAME as the unpacked ops term for term; parameters keep
+their reference shapes (`/root/reference/network/blocks.py:53-80` runs
+these levels unpacked on CUDA).  Equivalence: tests/test_packed_w.py.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+# --------------------------------------------------------------- reshapes
+def pack_w(x: jax.Array, p: int) -> jax.Array:
+    """[B, H, W, C] -> [B, H, W/p, p*C]; channel = dx*C + c (free reshape)."""
+    b, h, w, c = x.shape
+    assert w % p == 0, (w, p)
+    return x.reshape(b, h, w // p, p * c)
+
+
+def unpack_w(x: jax.Array, p: int) -> jax.Array:
+    """Inverse of :func:`pack_w` (free reshape)."""
+    b, h, j, pc = x.shape
+    assert pc % p == 0, (pc, p)
+    return x.reshape(b, h, j * p, pc // p)
+
+
+def repack_w(x: jax.Array, p_from: int, p_to: int) -> jax.Array:
+    """Change the W-pack factor (free reshape either direction)."""
+    return pack_w(unpack_w(x, p_from), p_to)
+
+
+# ------------------------------------------------------------ packed conv
+def pack_kernel_w(w: jax.Array, p: int, in_segments: Sequence[int]) -> jax.Array:
+    """Build the W-packed conv kernel from an original SAME kernel.
+
+    ``w``: [k, k, Cin, Cout], odd k.  ``in_segments``: channel counts of the
+    concatenated packed inputs (each segment laid out ``dx*Cseg + c``).
+
+    Output subpixel dx of packed col j is original col p*j+dx; its W-tap v
+    reads original col p*j + dx - k//2 + v = packed col j + (dx-k//2+v)//p,
+    subpixel (dx-k//2+v) % p.  H-taps are ordinary (H is unpacked).
+    """
+    k, _, cin, cout = w.shape
+    assert k % 2 == 1, "W-packed conv only defined for odd kernels"
+    assert sum(in_segments) == cin, (in_segments, cin)
+    pad = k // 2
+    offs = sorted({(d - pad + v) // p for d in (0, p - 1) for v in range(k)})
+    kp = offs[-1] - offs[0] + 1
+    assert kp % 2 == 1, kp  # symmetric window for SAME padding
+
+    seg_off, off = [], 0
+    for cseg in in_segments:
+        seg_off.append(off)
+        off += p * cseg
+
+    wp = jnp.zeros((k, kp, off, p * cout), w.dtype)
+    for dx in range(p):
+        o0 = dx * cout
+        for v in range(k):
+            t, ax = divmod(dx - pad + v, p)
+            kv = t - offs[0]
+            cbase = 0
+            for cseg, soff in zip(in_segments, seg_off):
+                wp = wp.at[:, kv,
+                           soff + ax * cseg: soff + (ax + 1) * cseg,
+                           o0: o0 + cout].set(w[:, v, cbase: cbase + cseg, :])
+                cbase += cseg
+    return wp
+
+
+def conv_w(x: jax.Array, w: jax.Array, p: int, in_segments: Sequence[int],
+           dtype) -> jax.Array:
+    """W-packed equivalent of the original SAME conv with kernel ``w``."""
+    wp = pack_kernel_w(w, p, in_segments).astype(dtype)
+    k, kp = wp.shape[0], wp.shape[1]
+    return lax.conv_general_dilated(
+        x.astype(dtype), wp, (1, 1), [(k // 2, k // 2), (kp // 2, kp // 2)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def pack_kernel_w_stride2(w: jax.Array, p: int) -> jax.Array:
+    """Stride-2 k=4 pad-1 conv (the PatchGAN stem) under W-packing: input
+    pack p, output pack p//2 on the half-resolution grid.  Output subpixel
+    dx_o reads original cols 2*(p//2)*j + 2*dx_o - 1 + v."""
+    k, _, cin, cout = w.shape
+    assert k == 4 and p % 2 == 0, (k, p)
+    q = p // 2
+    offs = sorted({(2 * d - 1 + v) // p for d in (0, q - 1) for v in range(k)})
+    kp = offs[-1] - offs[0] + 1
+    wp = jnp.zeros((k, kp, p * cin, q * cout), w.dtype)
+    for dxo in range(q):
+        o0 = dxo * cout
+        for v in range(k):
+            t, ax = divmod(2 * dxo - 1 + v, p)
+            kv = t - offs[0]
+            wp = wp.at[:, kv, ax * cin: (ax + 1) * cin,
+                       o0: o0 + cout].set(w[:, v])
+    return wp, offs[0]
+
+
+def stem_conv_w(x: jax.Array, w: jax.Array, p: int, dtype) -> jax.Array:
+    """4x4/2 pad-1 stem on W-packed input: [B,H,J,p*Cin] ->
+    [B,H/2,J,(p/2)*Cout] (same packed-col grid, half the subpixels)."""
+    wp, off0 = pack_kernel_w_stride2(w, p)
+    kp = wp.shape[1]
+    return lax.conv_general_dilated(
+        x.astype(dtype), wp.astype(dtype), (2, 1),
+        [(1, 1), (-off0, kp - 1 + off0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+# ------------------------------------------------------------ norm / pool
+def norm_stats_w(x: jax.Array, p: int, c: int):
+    """InstanceNorm sums per ORIGINAL channel: reduce over (H, J, dx).
+    Returns (s1, s2, n) with s1/s2 [B, C] float32."""
+    b, h, j, pc = x.shape
+    assert pc == p * c, (pc, p, c)
+    xf = x.astype(jnp.float32).reshape(b, h, j, p, c)
+    s1 = jnp.sum(xf, axis=(1, 2, 3))
+    s2 = jnp.sum(jnp.square(xf), axis=(1, 2, 3))
+    return s1, s2, h * j * p
+
+
+def tile_c_w(v: jax.Array, p: int) -> jax.Array:
+    """[B, C] (or [C]) -> [B, p*C] matching the dx*C+c layout."""
+    reps = (p,) if v.ndim == 1 else (1, p)
+    return jnp.tile(v, reps)
+
+
+def pool_w(x: jax.Array, p: int, c: int, out_pack: int) -> jax.Array:
+    """MaxPool 2x2 stride 2 of the unpacked tensor, emitted in W-packed
+    form.  ``out_pack`` is p//2 (stay on the same col grid) or p (regroup
+    col pairs — a free reshape); both cover every pooled pixel exactly."""
+    b, h, j, pc = x.shape
+    assert pc == p * c and h % 2 == 0, (x.shape, p, c)
+    m = x.reshape(b, h // 2, 2, j, pc).max(axis=2)            # H-pool
+    m = m.reshape(b, h // 2, j, p // 2, 2, c).max(axis=4)     # W-pool
+    m = m.reshape(b, h // 2, j, (p // 2) * c)
+    if out_pack == p // 2:
+        return m
+    assert out_pack == p and j % 2 == 0, (out_pack, p, j)
+    return m.reshape(b, h // 2, j // 2, p * c)
+
+
+def upsample_bilinear2_w(x: jax.Array, p: int, out_pack: int) -> jax.Array:
+    """2x bilinear upsample (align_corners=False, edge-clamped — identical
+    to jax.image.resize 'bilinear' and to packed.py's 2x2 variant) on a
+    W-packed tensor: [B,H,J,p*C] -> [B,2H,(2*J*p)/out_pack,out_pack*C].
+    The W stencil runs on the FREE flattened view."""
+    b, h, j, pc = x.shape
+    c = pc // p
+    xf = x.reshape(b, h, j * p, c)                            # free
+
+    def shift_m(a, axis):
+        sl = [slice(None)] * a.ndim
+        sl[axis] = slice(None, 1)
+        first = a[tuple(sl)]
+        sl[axis] = slice(None, -1)
+        return jnp.concatenate([first, a[tuple(sl)]], axis=axis)
+
+    def shift_p(a, axis):
+        sl = [slice(None)] * a.ndim
+        sl[axis] = slice(-1, None)
+        last = a[tuple(sl)]
+        sl[axis] = slice(1, None)
+        return jnp.concatenate([a[tuple(sl)], last], axis=axis)
+
+    r0 = 0.25 * shift_m(xf, 2) + 0.75 * xf
+    r1 = 0.75 * xf + 0.25 * shift_p(xf, 2)
+    xw = jnp.stack([r0, r1], axis=3).reshape(b, h, 2 * j * p, c)
+    s0 = 0.25 * shift_m(xw, 1) + 0.75 * xw
+    s1 = 0.75 * xw + 0.25 * shift_p(xw, 1)
+    y = jnp.stack([s0, s1], axis=2).reshape(b, 2 * h, 2 * j * p, c)
+    return pack_w(y.astype(x.dtype), out_pack)
+
+
+def up_transposed_w(x: jax.Array, w: jax.Array, p: int, out_pack: int,
+                    dtype) -> jax.Array:
+    """ConvTranspose(2,2)/2 (flax semantics: spatially flipped kernel) on a
+    W-packed input, emitted directly in W-packed form:
+    [B,H,J,p*Cin] -> [B,2H,(2*J*p)/out_pack,out_pack*Cout].
+    Every reshape below is layout-free; only the einsum computes."""
+    b, h, j, pc = x.shape
+    cin = pc // p
+    cout = w.shape[-1]
+    wm = w[::-1, ::-1]                                        # flax flip
+    xs = x.astype(dtype).reshape(b, h, j, p, cin)
+    # out[b, h, dy, j, dx_in, dx2, co]; 2*dx_in + dx2 enumerates the output
+    # subpixels of col j in order
+    y = jnp.einsum("bhjdi,yxio->bhyjdxo", xs, wm.astype(dtype))
+    y = y.reshape(b, 2 * h, j, 2 * p * cout)
+    return repack_w(y, 2 * p, out_pack)

@@ -1,0 +1,137 @@
+# -*- coding: utf-8 -*-
+"""W-only packed ops (models/packed_w.py): every op must be the SAME
+function as its unpacked counterpart — packing only regroups the W axis
+into channels (PARITY-free by construction; see module docstring)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from smsut_tpu.models import packed_w as pw
+
+
+def test_pack_roundtrip_and_layout(rng):
+    x = jnp.asarray(rng.normal(size=(2, 8, 16, 3)).astype(np.float32))
+    for p in (2, 4, 8):
+        xp = pw.pack_w(x, p)
+        assert xp.shape == (2, 8, 16 // p, p * 3)
+        # channel dx*C+c holds original column p*j+dx
+        np.testing.assert_array_equal(
+            np.asarray(xp[:, :, 1, 1 * 3 + 2]), np.asarray(x[:, :, p + 1, 2]))
+        np.testing.assert_array_equal(np.asarray(pw.unpack_w(xp, p)),
+                                      np.asarray(x))
+    np.testing.assert_array_equal(
+        np.asarray(pw.repack_w(pw.pack_w(x, 8), 8, 4)),
+        np.asarray(pw.pack_w(x, 4)))
+
+
+@pytest.mark.parametrize("p", [4, 8])
+@pytest.mark.parametrize("k", [1, 3, 5])
+def test_conv_w_matches_same_conv(rng, p, k):
+    x = jnp.asarray(rng.normal(size=(2, 12, 16, 6)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(k, k, 6, 10)).astype(np.float32))
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1), [(k // 2, k // 2)] * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    out = pw.conv_w(pw.pack_w(x, p), w, p, (6,), jnp.float32)
+    np.testing.assert_allclose(np.asarray(pw.unpack_w(out, p)),
+                               np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_conv_w_concat_segments(rng):
+    """Concatenated packed inputs (decoder skips) via in_segments."""
+    p, k = 4, 3
+    a = jnp.asarray(rng.normal(size=(2, 8, 16, 3)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(2, 8, 16, 5)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(k, k, 8, 7)).astype(np.float32))
+    ref = jax.lax.conv_general_dilated(
+        jnp.concatenate([a, b], -1), w, (1, 1), [(1, 1)] * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    xp = jnp.concatenate([pw.pack_w(a, p), pw.pack_w(b, p)], -1)
+    out = pw.conv_w(xp, w, p, (3, 5), jnp.float32)
+    np.testing.assert_allclose(np.asarray(pw.unpack_w(out, p)),
+                               np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("p,out_pack", [(4, 2), (4, 4), (8, 4), (8, 8)])
+def test_pool_w_matches_maxpool(rng, p, out_pack):
+    x = jnp.asarray(rng.normal(size=(2, 8, 16, 3)).astype(np.float32))
+    ref = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
+                                (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+    out = pw.pool_w(pw.pack_w(x, p), p, 3, out_pack)
+    np.testing.assert_array_equal(np.asarray(pw.unpack_w(out, out_pack)),
+                                  np.asarray(ref))
+
+
+def test_norm_stats_w(rng):
+    x = jnp.asarray(rng.normal(size=(2, 8, 16, 3)).astype(np.float32))
+    s1, s2, n = pw.norm_stats_w(pw.pack_w(x, 4), 4, 3)
+    assert n == 8 * 16
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(x.sum((1, 2))),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(s2),
+                               np.asarray(jnp.square(x).sum((1, 2))),
+                               rtol=1e-5)
+    v = jnp.asarray(rng.normal(size=(2, 3)).astype(np.float32))
+    t = pw.tile_c_w(v, 4)
+    assert t.shape == (2, 12)
+    np.testing.assert_array_equal(np.asarray(t[:, 3:6]), np.asarray(v))
+
+
+@pytest.mark.parametrize("p,out_pack", [(4, 4), (4, 8), (8, 8)])
+def test_upsample_bilinear2_w(rng, p, out_pack):
+    x = jnp.asarray(rng.normal(size=(2, 8, 16, 3)).astype(np.float32))
+    ref = jax.image.resize(x, (2, 16, 32, 3), method="bilinear")
+    out = pw.upsample_bilinear2_w(pw.pack_w(x, p), p, out_pack)
+    np.testing.assert_allclose(np.asarray(pw.unpack_w(out, out_pack)),
+                               np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("p,out_pack", [(4, 4), (4, 8), (8, 8)])
+def test_up_transposed_w_matches_flax(rng, p, out_pack):
+    from flax import linen as nn
+
+    x = jnp.asarray(rng.normal(size=(2, 8, 16, 6)).astype(np.float32))
+    mod = nn.ConvTranspose(5, kernel_size=(2, 2), strides=(2, 2))
+    params = mod.init(jax.random.PRNGKey(0), x)["params"]
+    ref = mod.apply({"params": params}, x)
+    out = pw.up_transposed_w(pw.pack_w(x, p), params["kernel"], p, out_pack,
+                             jnp.float32)
+    np.testing.assert_allclose(np.asarray(pw.unpack_w(out, out_pack)),
+                               np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("p", [4, 8])
+def test_stem_conv_w_matches_stride2(rng, p):
+    x = jnp.asarray(rng.normal(size=(2, 16, 32, 2)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(4, 4, 2, 5)).astype(np.float32))
+    ref = jax.lax.conv_general_dilated(
+        x, w, (2, 2), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    out = pw.stem_conv_w(pw.pack_w(x, p), w, p, jnp.float32)
+    np.testing.assert_allclose(np.asarray(pw.unpack_w(out, p // 2)),
+                               np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_conv_w_gradients_match(rng):
+    """Same gradients wrt input AND the original kernel parameter."""
+    p, k = 4, 3
+    x = jnp.asarray(rng.normal(size=(2, 8, 16, 3)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(k, k, 3, 5)).astype(np.float32))
+    t = jnp.asarray(rng.normal(size=(2, 8, 16, 5)).astype(np.float32))
+
+    def loss_ref(xx, ww):
+        y = jax.lax.conv_general_dilated(
+            xx, ww, (1, 1), [(1, 1)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return jnp.sum(jnp.square(y - t))
+
+    def loss_w(xx, ww):
+        y = pw.conv_w(pw.pack_w(xx, p), ww, p, (3,), jnp.float32)
+        return jnp.sum(jnp.square(pw.unpack_w(y, p) - t))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(x, w)
+    g_w = jax.grad(loss_w, argnums=(0, 1))(x, w)
+    for a, b in zip(g_w, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)
