@@ -110,6 +110,11 @@ class Config:
     # (identical math, ~4x fuller TPU lanes on the dominant 256^2/128^2
     # activations; see models/packed.py and tests/test_packed.py).
     pack_levels: int = 2
+    # packing representation for the pack_levels: "hw" = 2x2 space-to-depth
+    # (models/packed.py), "w" = W-only packing with free-reshape level
+    # transitions and pack_w0 subpixels at level 0 (models/packed_w.py).
+    pack_mode: str = "hw"
+    pack_w0: int = 8
     # fuse the packed pool->space_to_depth level transition so the narrow
     # [B,H',W',C] pooled tensor never materializes (8x lane-padded in HBM).
     # Measured: wins at batch>=32 (supervised 36.6->35.4 ms), loses at the

@@ -133,7 +133,32 @@ class Encoder(nn.Module):
         w = self.width
         skips = []
         start = 0
-        if self.pack_levels > 0:
+        from smsut_tpu.models import packed_w as pwk
+
+        if self.pack_levels > 0 and pwk.pack_mode() == "w":
+            p0 = pwk.pack_w0()
+            ps = pwk.w_pack_schedule(p0, w, self.pack_levels)
+            cin = x.shape[-1]
+            x = pwk.pack_w(x, p0)
+            x = pwk.PackedConvW(w // 2, 5, (cin,), p0, self.act_type,
+                                self.dtype, name="pre_conv")(x)
+            x = pwk.PackedNormActW(self.norm_type, self.act_type, w // 2, p0,
+                                   self.dtype, name="pre_bn")(x)
+            prev = w // 2
+            for i, mult in list(enumerate((1, 2, 4, 8)))[:self.pack_levels]:
+                p_i = ps[i]
+                x = pwk.PackedBasicBlockW(mult * w, (prev,), p_i,
+                                          self.norm_type, self.act_type,
+                                          self.dtype, name=f"layer{i + 1}")(x)
+                skips.append(x)             # W-packed with ps[i]
+                if i + 1 >= self.pack_levels:
+                    x = pwk.unpack_w(pwk.pool_w(x, p_i, mult * w, p_i // 2),
+                                     p_i // 2)
+                else:
+                    x = pwk.pool_w(x, p_i, mult * w, ps[i + 1])
+                prev = mult * w
+            start = self.pack_levels
+        elif self.pack_levels > 0:
             from smsut_tpu.models import packed as pk
 
             cin = x.shape[-1]
@@ -192,6 +217,24 @@ class Decoder(nn.Module):
                                   dtype=self.dtype, name=f"up{i}")(x, skips[i - 1])
             x = BasicBlock(mult * w, self.norm_type, self.act_type, self.dtype,
                            name=f"layer{i}")(x)
+        from smsut_tpu.models import packed_w as pwk
+
+        if self.pack_levels and pwk.pack_mode() == "w":
+            ps = pwk.w_pack_schedule(pwk.pack_w0(), w, self.pack_levels)
+            p_cur = 1                     # bottleneck enters unpacked
+            for lvl in range(self.pack_levels, 0, -1):
+                mult = (1, 2, 4, 8)[lvl - 1]
+                x = pwk.PackedUpConcatW(mult * w, p_cur, ps[lvl - 1],
+                                        self.act_type, self.dtype,
+                                        name=f"up{lvl}")(x, skips[lvl - 1])
+                x = pwk.PackedBasicBlockW(mult * w, (mult * w, mult * w),
+                                          ps[lvl - 1], self.norm_type,
+                                          self.act_type, self.dtype,
+                                          name=f"layer{lvl}")(x)
+                p_cur = ps[lvl - 1]
+            x = pwk.PackedConvW(self.out_ch, 1, (w,), ps[0], self.act_type,
+                                self.dtype, name="fc")(x)
+            return pwk.unpack_w(x, ps[0])
         if self.pack_levels:
             from smsut_tpu.models import packed as pk
 

@@ -214,3 +214,217 @@ def up_transposed_w(x: jax.Array, w: jax.Array, p: int, out_pack: int,
     y = jnp.einsum("bhjdi,yxio->bhyjdxo", xs, wm.astype(dtype))
     y = y.reshape(b, 2 * h, j, 2 * p * cout)
     return repack_w(y, 2 * p, out_pack)
+
+
+# ------------------------------------------------------------ flax modules
+from typing import Any, Callable, Optional, Tuple  # noqa: E402
+
+from flax import linen as nn  # noqa: E402
+
+from smsut_tpu.models.layers import get_act, kaiming_normal_fan_out  # noqa: E402
+
+Dtype = Any
+
+
+def level_pack(p0: int, channels: int) -> int:
+    """Pack factor for a level: fill the 128 TPU lanes when possible but
+    never exceed the input pack (levels share the input's col grid after
+    halving)."""
+    return max(2, min(p0, 128 // max(channels, 1)))
+
+
+class PackedConvW(nn.Module):
+    """Owns the ORIGINAL-shape kernel parameter (name 'kernel', like
+    nn.Conv / packed.PackedConv) but runs W-packed."""
+
+    features: int
+    kernel: int
+    in_segments: Tuple[int, ...]
+    p: int
+    act_type: str = "lrelu"
+    dtype: Dtype = jnp.float32
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cin = sum(self.in_segments)
+        w = self.param("kernel", kaiming_normal_fan_out(self.act_type),
+                       (self.kernel, self.kernel, cin, self.features),
+                       jnp.float32)
+        y = conv_w(x, w, self.p, self.in_segments, self.dtype)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,),
+                           jnp.float32)
+            y = y + jnp.tile(b, self.p).astype(y.dtype)
+        return y
+
+
+class PackedNormActW(nn.Module):
+    """InstanceNorm(affine) + optional activation over W-packed activations
+    (same sums as the unpacked norm — see norm_stats_w)."""
+
+    norm_type: str = "instance"
+    act_type: Optional[str] = None
+    channels: int = 0
+    p: int = 4
+    dtype: Dtype = jnp.float32
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        assert self.norm_type == "instance", self.norm_type
+        c, p = self.channels, self.p
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        s1, s2, n = norm_stats_w(x, p, c)
+        mean = s1 / n
+        var = s2 / n - jnp.square(mean)
+        rstd = jax.lax.rsqrt(var + self.epsilon)
+        g = tile_c_w(rstd * scale, p)[:, None, None, :]
+        b_ = tile_c_w(bias - mean * rstd * scale, p)[:, None, None, :]
+        y = (x.astype(jnp.float32) * g + b_).astype(self.dtype)
+        return get_act(self.act_type)(y) if self.act_type else y
+
+
+class PackedBasicBlockW(nn.Module):
+    """BasicBlock in W-packed space — same parameters/structure as
+    BasicBlock (`models/blocks.py:32-53`)."""
+
+    features: int
+    in_segments: Tuple[int, ...]
+    p: int
+    norm_type: str = "instance"
+    act_type: str = "lrelu"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        act = get_act(self.act_type)
+        f, p = self.features, self.p
+        identity = x
+        y = PackedConvW(f, 3, tuple(self.in_segments), p, self.act_type,
+                        name="conv1")(x)
+        y = PackedNormActW(self.norm_type, self.act_type, f, p, name="bn1")(y)
+        y = PackedConvW(f, 3, (f,), p, self.act_type, name="conv2")(y)
+        y = PackedNormActW(self.norm_type, None, f, p, name="bn2")(y)
+        if sum(self.in_segments) != f:
+            identity = PackedConvW(f, 1, tuple(self.in_segments), p,
+                                   self.act_type, name="shortcut1")(identity)
+            identity = PackedNormActW(self.norm_type, None, f, p,
+                                      name="shortcut2")(identity)
+        return act(y + identity)
+
+
+class _KernelW(nn.Module):
+    """Bare kernel parameter holder mirroring a nested module's path."""
+
+    shape: Tuple[int, ...]
+    init: Callable
+
+    @nn.compact
+    def __call__(self) -> jax.Array:
+        return self.param("kernel", self.init, self.shape, jnp.float32)
+
+
+class PackedUpConcatW(nn.Module):
+    """ConvTranspose(2,2)/2 into W-packed space + concat with the W-packed
+    skip.  ``p`` is the INPUT pack (1 = unpacked input), ``out_pack`` the
+    output/skip pack.  Parameter path matches UpSampleAndConcat
+    ('<name>/up/kernel')."""
+
+    features: int
+    p: int
+    out_pack: int
+    act_type: str = "lrelu"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, skip_packed: jax.Array) -> jax.Array:
+        cin = x.shape[-1] // self.p
+        w = _KernelW((2, 2, cin, self.features),
+                     kaiming_normal_fan_out(self.act_type), name="up")()
+        y = up_transposed_w(x, w, self.p, self.out_pack, self.dtype)
+        return jnp.concatenate([y, skip_packed.astype(y.dtype)], axis=-1)
+
+
+class PackedUpBilinearConcatW(nn.Module):
+    """Bilinear 2x up + 1x1 conv + concat with the W-packed skip (the
+    translation decoder's up path).  1x1 conv commutes with bilinear
+    interpolation, so it runs at the low resolution first; parameter path
+    matches ('<name>/up_conv/kernel')."""
+
+    features: int
+    p: int
+    out_pack: int
+    act_type: str = "lrelu"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, skip_packed: jax.Array) -> jax.Array:
+        cin = x.shape[-1] // self.p
+        w = _KernelW((1, 1, cin, self.features),
+                     kaiming_normal_fan_out(self.act_type), name="up_conv")()
+        y = conv_w(x, w, self.p, (cin,), self.dtype)
+        y = upsample_bilinear2_w(y, self.p, self.out_pack)
+        return jnp.concatenate([y, skip_packed.astype(y.dtype)], axis=-1)
+
+
+class PackedStride2ConvW(nn.Module):
+    """4x4 stride-2 pad-1 stem on a W-packed input, emitting the
+    half-resolution output packed by p/2 (parameter-compatible with the
+    nn.Conv stem)."""
+
+    features: int
+    p: int
+    act_type: str = "lrelu"
+    dtype: Dtype = jnp.float32
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x_packed: jax.Array) -> jax.Array:
+        cin = x_packed.shape[-1] // self.p
+        w = self.param("kernel", kaiming_normal_fan_out(self.act_type),
+                       (4, 4, cin, self.features), jnp.float32)
+        y = stem_conv_w(x_packed, w, self.p, self.dtype)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,),
+                           jnp.float32)
+            y = y + jnp.tile(b, self.p // 2).astype(y.dtype)
+        return y
+
+
+# ----------------------------------------------------- trace-time selection
+# Like packed.set_pool_fused: the packing REPRESENTATION is a trace-time
+# choice (parameters are identical in every mode), armed by
+# train/steps/setup_compute from Config.pack_mode / Config.pack_w0.
+_PACK_MODE = "hw"
+_PACK_W0 = 8
+
+
+def set_pack_mode(mode: str, w0: int = 8) -> None:
+    assert mode in ("hw", "w"), mode
+    global _PACK_MODE, _PACK_W0
+    _PACK_MODE = mode
+    _PACK_W0 = int(w0)
+
+
+def pack_mode() -> str:
+    return _PACK_MODE
+
+
+def pack_w0() -> int:
+    return _PACK_W0
+
+
+def w_pack_schedule(p0: int, width: int, n_levels: int):
+    """Per-level pack factors.  Level i+1's pack is level i's (pool_w
+    regroups col pairs for free) while the lanes still fit, else halved
+    (pool_w's natural output)."""
+    ps, p = [], p0
+    mults = (1, 2, 4, 8)
+    for i in range(n_levels):
+        ps.append(p)
+        c_next = mults[i + 1] * width if i + 1 < 4 else 16 * width
+        if p * c_next > 128:
+            p = max(p // 2, 2)
+    return ps

@@ -51,7 +51,32 @@ class UGANEncoder(nn.Module):
         w = self.width
         skips = []
         start = 0
-        if self.pack_levels > 0:
+        from smsut_tpu.models import packed_w as pwk
+
+        if self.pack_levels > 0 and pwk.pack_mode() == "w":
+            p0 = pwk.pack_w0()
+            ps = pwk.w_pack_schedule(p0, w, self.pack_levels)
+            cin = x.shape[-1]
+            x = pwk.pack_w(x, p0)
+            x = pwk.PackedConvW(w // 2, 5, (cin,), p0, self.act_type,
+                                self.dtype, name="pre_conv")(x)
+            x = pwk.PackedNormActW(self.norm_type, self.act_type, w // 2, p0,
+                                   self.dtype, name="pre_bn")(x)
+            prev = w // 2
+            for i, mult in list(enumerate((1, 2, 4, 8)))[:self.pack_levels]:
+                x = pwk.PackedBasicBlockW(mult * w, (prev,), ps[i],
+                                          self.norm_type, self.act_type,
+                                          self.dtype, name=f"enc{i + 1}")(x)
+                skips.append(x)          # W-packed with ps[i]
+                if i + 1 >= self.pack_levels:
+                    x = pwk.unpack_w(
+                        pwk.pool_w(x, ps[i], mult * w, ps[i] // 2),
+                        ps[i] // 2)
+                else:
+                    x = pwk.pool_w(x, ps[i], mult * w, ps[i + 1])
+                prev = mult * w
+            start = self.pack_levels
+        elif self.pack_levels > 0:
             from smsut_tpu.models import packed as pk
 
             cin = x.shape[-1]
@@ -108,6 +133,27 @@ class UGANDecoder(nn.Module):
                                   name=f"up{i}")(x, skips[4 - i])
             x = BasicBlock(mult * w, self.norm_type, self.act_type, self.dtype,
                            name=f"dec{i}")(x)
+        from smsut_tpu.models import packed_w as pwk
+
+        if self.pack_levels and pwk.pack_mode() == "w":
+            ps = pwk.w_pack_schedule(pwk.pack_w0(), w, self.pack_levels)
+            up_cls = (pwk.PackedUpConcatW if self.transposed
+                      else pwk.PackedUpBilinearConcatW)
+            p_cur = 1                    # bottleneck enters unpacked
+            for lvl in range(self.pack_levels, 0, -1):
+                mult = (1, 2, 4, 8)[lvl - 1]
+                x = up_cls(mult * w, p_cur, ps[lvl - 1], self.act_type,
+                           self.dtype, name=f"up{lvl}")(x, skips[4 - lvl])
+                x = pwk.PackedBasicBlockW(mult * w, (mult * w, mult * w),
+                                          ps[lvl - 1], self.norm_type,
+                                          self.act_type, self.dtype,
+                                          name=f"dec{lvl}")(x)
+                p_cur = ps[lvl - 1]
+            x = pwk.PackedConvW(self.out_ch, 1, (w,), ps[0], self.act_type,
+                                self.dtype, use_bias=True, name="fc")(x)
+            if self.use_tanh:
+                x = jnp.tanh(x)
+            return pwk.unpack_w(x, ps[0])
         if self.pack_levels:
             from smsut_tpu.models import packed as pk
 
@@ -270,7 +316,15 @@ class Discriminator(nn.Module):
         import numpy as np
 
         x = x.astype(self.dtype)
-        if self.pack_levels:
+        from smsut_tpu.models import packed_w as pwk
+
+        if self.pack_levels and pwk.pack_mode() == "w":
+            p0 = pwk.pack_w0()
+            y = pwk.PackedStride2ConvW(self.width, p0, "lrelu", self.dtype,
+                                       use_bias=True, name="stem")(
+                pwk.pack_w(x, p0))
+            x = pwk.unpack_w(y, p0 // 2)
+        elif self.pack_levels:
             from smsut_tpu.models import packed as pk
 
             x = pk.PackedStride2Conv(self.width, "lrelu", self.dtype,

@@ -12,4 +12,8 @@ def setup_compute(cfg: Config):
     from smsut_tpu.models import packed as pk
 
     pk.set_pool_fused(getattr(cfg, "pool_pack_fused", False))
+    from smsut_tpu.models import packed_w as pwk
+
+    pwk.set_pack_mode(getattr(cfg, "pack_mode", "hw"),
+                      getattr(cfg, "pack_w0", 8))
     return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32

@@ -85,3 +85,57 @@ def test_coranet_two_stage_learns_on_synthetic(tmp_path):
     assert cora._pseudo is not None  # pseudo loop actually ran
     assert dice_b > dice0 + 0.2, (dice0, dice_a, dice_b)
     assert dice_b > 0.3, (dice0, dice_a, dice_b)
+
+
+@pytest.mark.slow
+def test_cross_pseudo_learns_on_synthetic(tmp_path):
+    from smsut_tpu.train.steps.cross_pseudo import CrossPseudo
+
+    data_root = str(tmp_path / "synth")
+    make_synthetic_dataset(data_root, n_patients_per_modality=3, n_slice=4,
+                           size=64)
+    cfg = Config(
+        base_root=data_root, expr_root=str(tmp_path / "expr"), input_size=64,
+        base_width=4, batch_size=4, num_iter_per_epoch=10, max_epoch=12,
+        num_workers=2, compute_dtype="float32", eval_every=12,
+        data_aug=dict(Config().data_aug, resizeCrop_size=64),
+    )
+    algo = CrossPseudo(cfg)
+    trainer = Trainer(algo, cfg, "train")
+    test_loader = get_loader(cfg.base_root, "test", 0, cfg.batch_size, cfg=cfg)
+    _, gt_npys = get_label_npys(cfg.base_root, "test", cfg.split_yaml)
+
+    dice0 = _dice(trainer, cfg, gt_npys, test_loader)
+    trainer.fit("inTurn")
+    dice1 = _dice(trainer, cfg, gt_npys, test_loader)
+
+    assert dice1 > dice0 + 0.2, (dice0, dice1)
+    assert dice1 > 0.3, (dice0, dice1)
+
+
+@pytest.mark.slow
+def test_m3l_learns_on_synthetic(tmp_path):
+    """M3L's SegFormer has no width knob (MiT-b0 scale), so this runs fewer
+    iterations than the U-Net recipes; the CE-only supervised loss must
+    still materially lift dice (`M3LTrainer.py:42-160`)."""
+    from smsut_tpu.train.steps.m3l import M3L
+
+    data_root = str(tmp_path / "synth")
+    make_synthetic_dataset(data_root, n_patients_per_modality=3, n_slice=4,
+                           size=64)
+    cfg = Config(
+        base_root=data_root, expr_root=str(tmp_path / "expr"), input_size=64,
+        batch_size=4, num_iter_per_epoch=10, max_epoch=8, num_workers=2,
+        compute_dtype="float32", eval_every=8,
+        data_aug=dict(Config().data_aug, resizeCrop_size=64),
+    )
+    algo = M3L(cfg)
+    trainer = Trainer(algo, cfg, "train")
+    test_loader = get_loader(cfg.base_root, "test", 0, cfg.batch_size, cfg=cfg)
+    _, gt_npys = get_label_npys(cfg.base_root, "test", cfg.split_yaml)
+
+    dice0 = _dice(trainer, cfg, gt_npys, test_loader)
+    trainer.fit("inTurn")
+    dice1 = _dice(trainer, cfg, gt_npys, test_loader)
+
+    assert dice1 > dice0 + 0.15, (dice0, dice1)

@@ -135,3 +135,88 @@ def test_conv_w_gradients_match(rng):
     for a, b in zip(g_w, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-3)
+
+
+# ---------------------------------------------------- model-level (mode "w")
+class _wmode:
+    """Arm pack_mode='w' for the scope (trace-time global, like
+    Config.pack_mode via setup_compute)."""
+
+    def __init__(self, w0):
+        self.w0 = w0
+
+    def __enter__(self):
+        pw.set_pack_mode("w", self.w0)
+
+    def __exit__(self, *a):
+        pw.set_pack_mode("hw")
+
+
+@pytest.mark.parametrize("levels,w0", [(1, 8), (2, 8), (2, 4)])
+def test_unet_wmode_same_params_forward_grads(rng, levels, w0):
+    from smsut_tpu.models.unet import UNet
+
+    kw = dict(out_ch=5, width=8, norm_type="instance", act_type="lrelu",
+              dtype=jnp.float32)
+    plain = UNet(pack_levels=0, **kw)
+    packed = UNet(pack_levels=levels, **kw)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 1)).astype(np.float32))
+    params = plain.init(jax.random.PRNGKey(0), x)["params"]
+    with _wmode(w0):
+        assert (jax.tree_util.tree_map(jnp.shape, params)
+                == jax.tree_util.tree_map(
+                    jnp.shape,
+                    packed.init(jax.random.PRNGKey(0), x)["params"]))
+        y1 = packed.apply({"params": params}, x)
+        g1 = jax.grad(lambda p: jnp.mean(jnp.square(
+            packed.apply({"params": p}, x))))(params)
+    y0 = plain.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=1e-4, atol=1e-4)
+    g0 = jax.grad(lambda p: jnp.mean(jnp.square(
+        plain.apply({"params": p}, x))))(params)
+    for (k0, l0), (k1, l1) in zip(
+            jax.tree_util.tree_leaves_with_path(g0),
+            jax.tree_util.tree_leaves_with_path(g1)):
+        assert k0 == k1
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l0),
+                                   rtol=2e-3, atol=1e-5, err_msg=str(k0))
+
+
+def test_ugan_wmode_equivalence(rng):
+    from smsut_tpu.models.ugan import UGANnce
+
+    kw = dict(out_ch=5, n_modal=4, width=8, netF_nc=32, dtype=jnp.float32)
+    plain, packed = UGANnce(pack_levels=0, **kw), UGANnce(pack_levels=2, **kw)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 1)).astype(np.float32))
+    m = jax.nn.one_hot(jnp.asarray([1, 2]), 4)
+    ids = jnp.asarray([0, 3, 1])
+    params = plain.init(jax.random.PRNGKey(0), x, m, ids)["params"]
+    out0 = plain.apply({"params": params}, x, m, ids)
+    with _wmode(8):
+        assert (jax.tree_util.tree_map(jnp.shape, params)
+                == jax.tree_util.tree_map(
+                    jnp.shape,
+                    packed.init(jax.random.PRNGKey(0), x, m, ids)["params"]))
+        out1 = packed.apply({"params": params}, x, m, ids)
+    for a, b in zip(out1, out0):   # seg, tsl (bilinear+tanh), feat_pool
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_discriminator_wmode_equivalence(rng):
+    from smsut_tpu.models.ugan import Discriminator
+
+    kw = dict(input_size=32, n_modal=4, width=8, max_width=64,
+              dtype=jnp.float32)
+    plain = Discriminator(pack_levels=0, **kw)
+    packed = Discriminator(pack_levels=1, **kw)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 1)).astype(np.float32))
+    params = plain.init(jax.random.PRNGKey(0), x)["params"]
+    src0, cls0 = plain.apply({"params": params}, x)
+    with _wmode(8):
+        src1, cls1 = packed.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(src1), np.asarray(src0),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(cls1), np.asarray(cls0),
+                               rtol=1e-4, atol=1e-4)
