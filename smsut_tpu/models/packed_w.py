@@ -94,9 +94,27 @@ def pack_kernel_w(w: jax.Array, p: int, in_segments: Sequence[int]) -> jax.Array
 
 def conv_w(x: jax.Array, w: jax.Array, p: int, in_segments: Sequence[int],
            dtype) -> jax.Array:
-    """W-packed equivalent of the original SAME conv with kernel ``w``."""
+    """W-packed equivalent of the original SAME conv with kernel ``w``.
+
+    k=1 runs as a dense per-subpixel contraction — in W-packing the
+    [..., p, C] split is a free reshape (unlike the 2x2 scheme, where the
+    equivalent v2 lowering needed lane shuffles and regressed end-to-end),
+    so the 1x1 convs carry ZERO structured waste."""
+    k = w.shape[0]
+    if k == 1:
+        b, h, j, _ = x.shape
+        xd = x.astype(dtype)
+        wd = w[0, 0].astype(dtype)
+        y, cbase, off = None, 0, 0
+        for cseg in in_segments:
+            xs = xd[..., off: off + p * cseg].reshape(b, h, j, p, cseg)
+            t = jnp.einsum("bhjsc,co->bhjso", xs, wd[cbase: cbase + cseg])
+            y = t if y is None else y + t
+            cbase += cseg
+            off += p * cseg
+        return y.reshape(b, h, j, p * w.shape[-1])
     wp = pack_kernel_w(w, p, in_segments).astype(dtype)
-    k, kp = wp.shape[0], wp.shape[1]
+    kp = wp.shape[1]
     return lax.conv_general_dilated(
         x.astype(dtype), wp, (1, 1), [(k // 2, k // 2), (kp // 2, kp // 2)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"))

@@ -38,14 +38,16 @@ def test_conv_w_matches_same_conv(rng, p, k):
                                np.asarray(ref), rtol=2e-4, atol=2e-4)
 
 
-def test_conv_w_concat_segments(rng):
-    """Concatenated packed inputs (decoder skips) via in_segments."""
-    p, k = 4, 3
+@pytest.mark.parametrize("k", [1, 3])
+def test_conv_w_concat_segments(rng, k):
+    """Concatenated packed inputs (decoder skips) via in_segments; k=1
+    exercises the dense per-subpixel einsum path."""
+    p = 4
     a = jnp.asarray(rng.normal(size=(2, 8, 16, 3)).astype(np.float32))
     b = jnp.asarray(rng.normal(size=(2, 8, 16, 5)).astype(np.float32))
     w = jnp.asarray(rng.normal(size=(k, k, 8, 7)).astype(np.float32))
     ref = jax.lax.conv_general_dilated(
-        jnp.concatenate([a, b], -1), w, (1, 1), [(1, 1)] * 2,
+        jnp.concatenate([a, b], -1), w, (1, 1), [(k // 2, k // 2)] * 2,
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     xp = jnp.concatenate([pw.pack_w(a, p), pw.pack_w(b, p)], -1)
     out = pw.conv_w(xp, w, p, (3, 5), jnp.float32)
