@@ -102,6 +102,10 @@ class Config:
     compute_dtype: str = "bfloat16"
     # number of data-parallel shards; 0 == use all local devices.
     data_parallel: int = 0
+    # spatial parallelism: shard activations' H dim over a second 'space'
+    # mesh axis (GSPMD inserts the conv halo exchanges; parallel/mesh.py).
+    # 1 disables; devices = data_parallel x spatial_parallel.
+    spatial_parallel: int = 1
     # host->device prefetch depth of the input pipeline.
     prefetch_depth: int = 2
     # use the fused Pallas instance-norm kernel where available.

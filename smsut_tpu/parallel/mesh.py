@@ -17,15 +17,30 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices: int = 0, devices: Optional[Sequence] = None,
-              batch_size: int = 0) -> Mesh:
-    """1-D data-parallel mesh over the first ``n_devices`` devices
-    (all local devices when 0).  When ``batch_size`` is given, the mesh is
-    clamped to the largest device count that divides the batch so batch-dim
-    sharding is always valid."""
+              batch_size: int = 0, spatial: int = 1) -> Mesh:
+    """Data-parallel mesh over the first ``n_devices`` devices (all local
+    devices when 0).  When ``batch_size`` is given, the data axis is clamped
+    to the largest count that divides the batch so batch-dim sharding is
+    always valid.
+
+    ``spatial > 1`` adds a second ``'space'`` axis: activations shard their
+    H dimension across it (GSPMD spatial partitioning — XLA inserts the
+    conv halo exchanges and norm/loss cross-shard reductions over ICI
+    automatically; the reference is single-GPU, §2.7).  Combine with data
+    parallelism to scale past the batch dimension, e.g. 8 devices as
+    dp=2 x sp=4."""
     if devices is None:
         devices = jax.devices()
     if n_devices:
         devices = devices[:n_devices]
+    if spatial > 1:
+        assert len(devices) >= spatial, (len(devices), spatial)
+        dp = len(devices) // spatial
+        if batch_size:
+            while dp > 1 and batch_size % dp:
+                dp -= 1
+        arr = np.asarray(devices[: dp * spatial]).reshape(dp, spatial)
+        return Mesh(arr, ("data", "space"))
     if batch_size:
         n = len(devices)
         while n > 1 and batch_size % n:
@@ -63,9 +78,16 @@ def shard_params_channelwise(mesh: Mesh, params: Any) -> Any:
     return jax.tree_util.tree_map(put, params)
 
 
-def batch_sharding(mesh: Mesh, axis: int = 0) -> NamedSharding:
-    """Shard the batch dim (``axis``) over the data axis."""
-    return NamedSharding(mesh, P(*([None] * axis + ["data"])))
+def batch_sharding(mesh: Mesh, axis: int = 0,
+                   ndim: Optional[int] = None) -> NamedSharding:
+    """Shard the batch dim (``axis``) over 'data'; on a spatial mesh,
+    arrays with an H dim (rank >= axis+3, i.e. [..., B, H, W(, C)]) also
+    shard H over 'space'."""
+    names = [None] * axis + ["data"]
+    if ("space" in mesh.axis_names and ndim is not None
+            and ndim >= axis + 3):
+        names.append("space")
+    return NamedSharding(mesh, P(*names))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -80,8 +102,6 @@ def shard_batch(mesh: Mesh, tree: Any, axis: int = 0) -> Any:
     Multi-host: the tree holds this process's *local* slice (the loaders are
     wrapped in ``ShardedBatchSampler``); the slices are assembled into global
     arrays with ``jax.make_array_from_process_local_data``."""
-    sh = batch_sharding(mesh, axis)
-
     if jax.process_count() > 1:
         nproc = jax.process_count()
 
@@ -89,13 +109,14 @@ def shard_batch(mesh: Mesh, tree: Any, axis: int = 0) -> Any:
             x = np.asarray(x)
             gshape = list(x.shape)
             gshape[axis] *= nproc
+            sh = batch_sharding(mesh, axis, x.ndim)
             return jax.make_array_from_process_local_data(sh, x,
                                                           tuple(gshape))
 
         return jax.tree_util.tree_map(put_local, tree)
 
     def put(x):
-        return jax.device_put(x, sh)
+        return jax.device_put(x, batch_sharding(mesh, axis, np.ndim(x)))
 
     return jax.tree_util.tree_map(put, tree)
 

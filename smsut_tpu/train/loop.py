@@ -130,8 +130,19 @@ class Trainer:
         self._primary = jax.process_index() == 0
         self.exp = experiment or Experiment(cfg.expr_root, self.expr_name, phase,
                                             spectator=not self._primary)
-        self.mesh = (make_mesh(cfg.data_parallel, batch_size=cfg.batch_size)
+        self.mesh = (make_mesh(cfg.data_parallel, batch_size=cfg.batch_size,
+                               spatial=getattr(cfg, "spatial_parallel", 1))
                      if use_mesh else None)
+        if self.mesh is not None and "space" in self.mesh.axis_names:
+            # measured envelope (tests/test_spatial_parallel.py): GSPMD's
+            # spatially-partitioned gradients are exact while the coarsest
+            # feature map (input/16 after 4 pools) keeps >= max(4, sp) rows;
+            # below that XLA's degenerate-halo handling corrupts gradients
+            # (rel-L2 ~1 at 32^2) — refuse instead of training wrong.
+            spx = self.mesh.shape["space"]
+            assert cfg.input_size // 16 >= max(4, spx), (
+                f"spatial_parallel={spx} needs input_size >= "
+                f"{16 * max(4, spx)} (got {cfg.input_size})")
         self.epoch = 0
         self.device_aug = None
         self._fused_step = None
@@ -658,12 +669,14 @@ class Trainer:
                     self._eval_scan_fn(self._eval_step_impl))
             dev = self._eval_dev
             if dev is None or dev[0] != id(loader):
-                sharding = None
                 if self.mesh is not None:
-                    sharding = NamedSharding(self.mesh,
-                                             PartitionSpec(None, "data"))
-                put = (partial(jax.device_put, device=sharding) if sharding
-                       else jax.device_put)
+                    from smsut_tpu.parallel.mesh import batch_sharding
+
+                    def put(x):
+                        return jax.device_put(
+                            x, batch_sharding(self.mesh, 1, np.ndim(x)))
+                else:
+                    put = jax.device_put
                 dev = (id(loader), (put(imgs), put(msks), put(valid)))
                 self._eval_dev = dev
             losses, preds = self._eval_scan_c(params, *dev[1])
