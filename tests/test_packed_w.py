@@ -222,3 +222,29 @@ def test_discriminator_wmode_equivalence(rng):
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(cls1), np.asarray(cls0),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_gan_train_step_runs_in_wmode(rng):
+    """The full uganConsis jitted step traces and runs under
+    Config.pack_mode='w' (what bench.py --set pack_mode=w compiles)."""
+    from smsut_tpu.config import Config
+    from smsut_tpu.train.steps.gan import UGANConsisAlgo
+
+    cfg = Config(input_size=32, base_width=4, batch_size=2,
+                 compute_dtype="float32", pack_mode="w", pack_w0=8)
+    algo = UGANConsisAlgo(cfg)
+    try:
+        state = algo.init_state(jax.random.PRNGKey(0))
+        batch = {
+            "img": jnp.asarray(rng.normal(size=(2, 32, 32, 1)).astype(np.float32)),
+            "msk": jnp.asarray(rng.integers(0, 5, size=(2, 32, 32)).astype(np.int32)),
+            "mdl": jnp.asarray([0, 1], jnp.int32),
+            "ul_img": jnp.asarray(rng.normal(size=(2, 32, 32, 1)).astype(np.float32)),
+            "ul_mdl": jnp.asarray([1, 0], jnp.int32),
+        }
+        scalars = dict(algo.epoch_scalars(1), rng=jax.random.PRNGKey(2))
+        state, m = algo.train_step(state, batch, scalars)
+        assert np.isfinite(float(m["loss"]))
+        assert np.isfinite(float(m["D_gp"]))
+    finally:
+        pw.set_pack_mode("hw")
