@@ -119,6 +119,10 @@ class Config:
     # transitions and pack_w0 subpixels at level 0 (models/packed_w.py).
     pack_mode: str = "hw"
     pack_w0: int = 8
+    # pack_mode="w" only: keep the discriminator's narrow-channel pyramid
+    # W-packed past the stem (each stride-2 block halves the subpixels for
+    # free until the lanes are full-width).
+    d_pack_deep: bool = False
     # fuse the packed pool->space_to_depth level transition so the narrow
     # [B,H',W',C] pooled tensor never materializes (8x lane-padded in HBM).
     # Measured: wins at batch>=32 (supervised 36.6->35.4 ms), loses at the

@@ -419,11 +419,19 @@ _PACK_MODE = "hw"
 _PACK_W0 = 8
 
 
-def set_pack_mode(mode: str, w0: int = 8) -> None:
+_D_PACK_DEEP = False
+
+
+def set_pack_mode(mode: str, w0: int = 8, d_deep: bool = False) -> None:
     assert mode in ("hw", "w"), mode
-    global _PACK_MODE, _PACK_W0
+    global _PACK_MODE, _PACK_W0, _D_PACK_DEEP
     _PACK_MODE = mode
     _PACK_W0 = int(w0)
+    _D_PACK_DEEP = bool(d_deep)
+
+
+def d_pack_deep() -> bool:
+    return _D_PACK_DEEP
 
 
 def pack_mode() -> str:
@@ -446,3 +454,57 @@ def w_pack_schedule(p0: int, width: int, n_levels: int):
         if p * c_next > 128:
             p = max(p // 2, 2)
     return ps
+
+
+def avg_pool_w(x: jax.Array, p: int, c: int, out_pack: int) -> jax.Array:
+    """AvgPool 2x2 stride 2 under W-packing (BottleBlock's shortcut/stride
+    path); same free-reshape structure as :func:`pool_w`."""
+    b, h, j, pc = x.shape
+    assert pc == p * c and h % 2 == 0, (x.shape, p, c)
+    m = x.reshape(b, h // 2, 2, j, pc).mean(axis=2)
+    m = m.reshape(b, h // 2, j, p // 2, 2, c).mean(axis=4)
+    m = m.reshape(b, h // 2, j, (p // 2) * c)
+    if out_pack == p // 2:
+        return m
+    assert out_pack == p and j % 2 == 0, (out_pack, p, j)
+    return m.reshape(b, h // 2, j // 2, p * c)
+
+
+class BottleBlockW(nn.Module):
+    """Stride-2-capable residual block (the PatchGAN discriminator's
+    BottleBlock, `models/blocks.py:56-82`) in W-packed space.  ``p`` is the
+    input pack; stride 2 emits pack p//2 on the same col grid (free)."""
+
+    features: int
+    in_ch: int
+    p: int
+    norm_type: str = "instance"
+    act_type: str = "lrelu"
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        assert self.stride in (1, 2)
+        act = get_act(self.act_type)
+        f, p = self.features, self.p
+        p_out = p // 2 if self.stride == 2 else p
+        y = PackedConvW(f, 3, (self.in_ch,), p, self.act_type, self.dtype,
+                        name="conv1")(x)
+        y = PackedNormActW(self.norm_type, self.act_type, f, p, self.dtype,
+                           name="bn1")(y)
+        if self.stride == 2:
+            y = avg_pool_w(y, p, f, p_out)
+        y = PackedConvW(f, 3, (f,), p_out, self.act_type, self.dtype,
+                        name="conv2")(y)
+        y = PackedNormActW(self.norm_type, None, f, p_out, self.dtype,
+                           name="bn2")(y)
+
+        identity = (avg_pool_w(x, p, self.in_ch, p_out)
+                    if self.stride == 2 else x)
+        if self.in_ch != f:
+            identity = PackedConvW(f, 1, (self.in_ch,), p_out, self.act_type,
+                                   self.dtype, name="short_conv")(identity)
+            identity = PackedNormActW(self.norm_type, None, f, p_out,
+                                      self.dtype, name="short_norm")(identity)
+        return act(y + identity)

@@ -318,28 +318,44 @@ class Discriminator(nn.Module):
         x = x.astype(self.dtype)
         from smsut_tpu.models import packed_w as pwk
 
+        repeat_num = int(np.log2(self.input_size)) - 2
+        width = self.width
+        i0 = 1
         if self.pack_levels and pwk.pack_mode() == "w":
             p0 = pwk.pack_w0()
             y = pwk.PackedStride2ConvW(self.width, p0, "lrelu", self.dtype,
                                        use_bias=True, name="stem")(
                 pwk.pack_w(x, p0))
-            x = pwk.unpack_w(y, p0 // 2)
+            y = jax.nn.leaky_relu(y, negative_slope=1e-2)
+            p = p0 // 2
+            if pwk.d_pack_deep():
+                # keep the narrow-channel pyramid W-packed: each stride-2
+                # block halves the subpixels for free until p == 1
+                in_ch = self.width
+                while p >= 2 and i0 < repeat_num:
+                    width = min(width * 2, self.max_width)
+                    y = pwk.BottleBlockW(width, in_ch, p, "instance",
+                                         "lrelu", stride=2, dtype=self.dtype,
+                                         name=f"block{i0}")(y)
+                    in_ch = width
+                    p //= 2
+                    i0 += 1
+            x = pwk.unpack_w(y, p)
         elif self.pack_levels:
             from smsut_tpu.models import packed as pk
 
             x = pk.PackedStride2Conv(self.width, "lrelu", self.dtype,
                                      use_bias=True, name="stem")(
                 pk.space_to_depth(x))
+            x = jax.nn.leaky_relu(x, negative_slope=1e-2)
         else:
             x = nn.Conv(self.width, kernel_size=(4, 4), strides=(2, 2),
                         padding=[(1, 1), (1, 1)], use_bias=True,
                         kernel_init=kaiming_normal_fan_out("lrelu"),
                         dtype=self.dtype, param_dtype=jnp.float32, name="stem")(x)
-        x = jax.nn.leaky_relu(x, negative_slope=1e-2)
+            x = jax.nn.leaky_relu(x, negative_slope=1e-2)
 
-        repeat_num = int(np.log2(self.input_size)) - 2
-        width = self.width
-        for i in range(1, repeat_num):
+        for i in range(i0, repeat_num):
             width = min(width * 2, self.max_width)
             x = BottleBlock(width, "instance", "lrelu", stride=2, dtype=self.dtype,
                             name=f"block{i}")(x)

@@ -15,5 +15,6 @@ def setup_compute(cfg: Config):
     from smsut_tpu.models import packed_w as pwk
 
     pwk.set_pack_mode(getattr(cfg, "pack_mode", "hw"),
-                      getattr(cfg, "pack_w0", 8))
+                      getattr(cfg, "pack_w0", 8),
+                      getattr(cfg, "d_pack_deep", False))
     return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32

@@ -144,11 +144,11 @@ class _wmode:
     """Arm pack_mode='w' for the scope (trace-time global, like
     Config.pack_mode via setup_compute)."""
 
-    def __init__(self, w0):
-        self.w0 = w0
+    def __init__(self, w0, d_deep=False):
+        self.w0, self.d_deep = w0, d_deep
 
     def __enter__(self):
-        pw.set_pack_mode("w", self.w0)
+        pw.set_pack_mode("w", self.w0, self.d_deep)
 
     def __exit__(self, *a):
         pw.set_pack_mode("hw")
@@ -248,3 +248,36 @@ def test_gan_train_step_runs_in_wmode(rng):
         assert np.isfinite(float(m["D_gp"]))
     finally:
         pw.set_pack_mode("hw")
+
+
+def test_discriminator_wmode_deep_equivalence(rng):
+    """d_pack_deep: the W-packed BottleBlock pyramid == the unpacked one
+    (same params, same outputs) until the subpixels run out."""
+    from smsut_tpu.models.ugan import Discriminator
+
+    kw = dict(input_size=64, n_modal=4, width=8, max_width=64,
+              dtype=jnp.float32)
+    plain = Discriminator(pack_levels=0, **kw)
+    packed = Discriminator(pack_levels=1, **kw)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 1)).astype(np.float32))
+    params = plain.init(jax.random.PRNGKey(0), x)["params"]
+    src0, cls0 = plain.apply({"params": params}, x)
+    with _wmode(8, d_deep=True):
+        assert (jax.tree_util.tree_map(jnp.shape, params)
+                == jax.tree_util.tree_map(
+                    jnp.shape,
+                    packed.init(jax.random.PRNGKey(0), x)["params"]))
+        src1, cls1 = packed.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(src1), np.asarray(src0),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(cls1), np.asarray(cls0),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_avg_pool_w_matches(rng):
+    x = jnp.asarray(rng.normal(size=(2, 8, 16, 3)).astype(np.float32))
+    ref = jax.lax.reduce_window(x, 0.0, jax.lax.add,
+                                (1, 2, 2, 1), (1, 2, 2, 1), "VALID") / 4.0
+    out = pw.avg_pool_w(pw.pack_w(x, 4), 4, 3, 2)
+    np.testing.assert_allclose(np.asarray(pw.unpack_w(out, 2)),
+                               np.asarray(ref), rtol=1e-5, atol=1e-6)
