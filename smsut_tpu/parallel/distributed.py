@@ -80,3 +80,21 @@ def local_batch_slice(global_batch: int) -> slice:
     per = global_batch // max(1, jax.process_count())
     start = jax.process_index() * per
     return slice(start, start + per)
+
+
+def barrier(name: str, timeout_ms: int = 1_200_000) -> None:
+    """Coordination-service barrier (plain TCP, no device collectives).
+
+    Used to re-sync processes around multi-minute XLA compiles: the CPU
+    backend's Gloo context initialization has a hard ~30s deadline at the
+    FIRST cross-process collective, so if one process finishes compiling
+    much earlier than another (cold persistent cache on a 1-CPU host), it
+    times out waiting.  AOT-compile, barrier here, then execute."""
+    import jax
+    from jax._src import distributed as jdist
+
+    if jax.process_count() <= 1:
+        return
+    client = jdist.global_state.client
+    if client is not None:
+        client.wait_at_barrier(name, timeout_in_ms=timeout_ms)

@@ -140,14 +140,31 @@ def test_two_process_training_matches_single_process():
 @pytest.mark.slow
 def test_two_process_gan_step_matches_single_process():
     """Flagship uganConsis fused augment+D+GP+G step, 2 real processes vs
-    this process's 8-device run (VERDICT r2 #5)."""
+    this process's 8-device run (VERDICT r2 #5).
+
+    One step, per-metric + param-only comparison: the WGAN-GP update is
+    chaotic in f32 (see distributed_worker.run_gan docstring), so tolerances
+    are set from the measured gloo-vs-XLA reduction-grouping drift — the
+    pre-update metrics match to ~1e-6, the G metrics computed through the
+    freshly-updated D carry the one-step amplification (~2e-4 abs), and the
+    opt-state Adam moments of the GP gradients are excluded entirely."""
     import tests.distributed_worker as worker
 
     result = _run_two_workers("gan", timeout=1200)
-    ref_loss, ref_cksum = worker.run_gan()
-    assert abs(result["loss"] - ref_loss) < 1e-3, (result, ref_loss)
-    assert abs(result["checksum"] - ref_cksum) / max(abs(ref_cksum), 1.0) < 1e-4, \
-        (result, ref_cksum)
+    ref_metrics, ref_g, ref_d = worker.run_gan()
+    m = result["metrics"]
+    # computed from identical (replicated) pre-update params:
+    for k in ("loss", "D_cls", "D_real", "D_fake", "D_gp",
+              "G_nce", "G_rec", "G_seg"):
+        assert abs(m[k] - ref_metrics[k]) <= 1e-4 * max(abs(ref_metrics[k]), 1.0), \
+            (k, m[k], ref_metrics[k])
+    # computed through the once-updated D (one chaos amplification):
+    for k in ("G_cls", "G_fake"):
+        assert abs(m[k] - ref_metrics[k]) < 5e-3, (k, m[k], ref_metrics[k])
+    assert abs(result["g_checksum"] - ref_g) / max(abs(ref_g), 1.0) < 1e-5, \
+        (result, ref_g)
+    assert abs(result["d_checksum"] - ref_d) / max(abs(ref_d), 1.0) < 1e-4, \
+        (result, ref_d)
 
 
 @pytest.mark.slow
