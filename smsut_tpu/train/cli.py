@@ -16,11 +16,15 @@ from smsut_tpu.config import Config, get_config
 
 def enable_compilation_cache(path: str = "/tmp/smsut-jax-cache") -> None:
     """Persistent XLA compilation cache — TPU compiles through the tunnel run
-    ~2min each; the cache makes repeat CLI invocations start instantly."""
+    ~2min each; the cache makes repeat CLI invocations start instantly.
+    Keyed by machine: see utils/cachekey.py (stale cross-host XLA:CPU AOT
+    blobs risk SIGILL)."""
     import jax
 
+    from smsut_tpu.utils.cachekey import cache_dir
+
     try:
-        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_compilation_cache_dir", cache_dir(path))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass

@@ -14,10 +14,13 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
 
+from smsut_tpu.utils.cachekey import cache_dir
+
 jax.config.update("jax_platforms", "cpu")
 # persistent compile cache: XLA:CPU compiles dominate the suite's wall time
-# on this 1-CPU host; repeat runs hit the cache and run ~2x faster
-jax.config.update("jax_compilation_cache_dir", "/tmp/smsut-jax-cache-cpu")
+# on this 1-CPU host; repeat runs hit the cache and run ~2x faster.
+# Machine-keyed: XLA:CPU AOT blobs from another host risk SIGILL.
+jax.config.update("jax_compilation_cache_dir", cache_dir("/tmp/smsut-jax-cache-cpu"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 assert jax.devices()[0].platform == "cpu", jax.devices()
 assert len(jax.devices()) == 8, jax.devices()
