@@ -123,6 +123,14 @@ class Config:
     # W-packed past the stem (each stride-2 block halves the subpixels for
     # free until the lanes are full-width).
     d_pack_deep: bool = False
+    # discriminator-only pack-mode override (""=inherit pack_mode).  The
+    # round-3 A/B measured the generator fastest in "hw" but the
+    # discriminator fastest W-packed-deep ("w" + d_pack_deep).
+    d_pack_mode: str = ""
+    # pin intermediate activation layouts ("off"|"cmin"|"wmin") via
+    # jax.experimental.layout.with_layout_constraint — an attack on the
+    # GAN step's 27ms of XLA layout-flip copies (models/layout_pin.py).
+    layout_pin: str = "off"
     # fuse the packed pool->space_to_depth level transition so the narrow
     # [B,H',W',C] pooled tensor never materializes (8x lane-padded in HBM).
     # Measured: wins at batch>=32 (supervised 36.6->35.4 ms), loses at the

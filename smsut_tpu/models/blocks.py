@@ -94,6 +94,7 @@ class UpSampleAndConcat(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, skip: jax.Array) -> jax.Array:
+        from smsut_tpu.models.layout_pin import pin
         if self.transposed:
             x = nn.ConvTranspose(
                 self.features,
@@ -109,7 +110,7 @@ class UpSampleAndConcat(nn.Module):
         else:
             x = upsample_bilinear2(x)
             x = conv1x1(self.features, act_type=self.act_type, dtype=self.dtype, name="up_conv")(x)
-        return jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
+        return pin(jnp.concatenate([pin(x), skip.astype(x.dtype)], axis=-1))
 
 
 class Encoder(nn.Module):

@@ -92,6 +92,8 @@ class NormAct(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from smsut_tpu.models.layout_pin import pin
+        x = pin(x)   # = the producing conv's output layout
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
@@ -103,7 +105,7 @@ class NormAct(nn.Module):
                 - jnp.square(mean)
             y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
             y = y.astype(self.dtype)
-            return get_act(self.act_type)(y) if self.act_type else y
+            return pin(get_act(self.act_type)(y) if self.act_type else y)
 
         if fused_norm_enabled() and self.act_type in (None, "lrelu"):
             from smsut_tpu.ops import instnorm_pallas as inp
@@ -118,7 +120,7 @@ class NormAct(nn.Module):
         var = jnp.mean(jnp.square(xf), axis=(1, 2), keepdims=True) - jnp.square(mean)
         y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
         y = y.astype(self.dtype)
-        return get_act(self.act_type)(y) if self.act_type else y
+        return pin(get_act(self.act_type)(y) if self.act_type else y)
 
 
 _FUSED_NORM = False
@@ -186,11 +188,13 @@ def conv1x1(features, stride=1, act_type="lrelu", dtype=jnp.float32, name=None, 
 
 
 def max_pool2(x: jax.Array) -> jax.Array:
-    return nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
+    from smsut_tpu.models.layout_pin import pin
+    return pin(nn.max_pool(x, window_shape=(2, 2), strides=(2, 2)))
 
 
 def avg_pool2(x: jax.Array) -> jax.Array:
-    return nn.avg_pool(x, window_shape=(2, 2), strides=(2, 2))
+    from smsut_tpu.models.layout_pin import pin
+    return pin(nn.avg_pool(x, window_shape=(2, 2), strides=(2, 2)))
 
 
 def upsample_bilinear2(x: jax.Array) -> jax.Array:

@@ -221,12 +221,13 @@ def packed_conv_apply(x: jax.Array, w: jax.Array,
         return _packed_conv_v2_k3(x, w, in_segments, dtype)
     if CONV_IMPL == "v2" and k == 1:
         return _packed_conv_v2_k1(x, w, in_segments, dtype)
+    from smsut_tpu.models.layout_pin import pin
     wp = pack_kernel(w, in_segments).astype(dtype)
     kp = wp.shape[0]
     pad = [(kp // 2, kp // 2)] * 2 if kp > 1 else [(0, 0)] * 2
-    return jax.lax.conv_general_dilated(
-        x.astype(dtype), wp, (1, 1), pad,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return pin(jax.lax.conv_general_dilated(
+        pin(x.astype(dtype)), wp, (1, 1), pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC")))
 
 
 class PackedConv(nn.Module):
@@ -389,7 +390,8 @@ class PackedNormAct(nn.Module):
         g = _tile_c(rstd * scale)[:, None, None, :]                     # [B,1,1,4C]
         b_ = _tile_c(bias - mean * rstd * scale)[:, None, None, :]
         y = (xf * g + b_).astype(self.dtype)
-        return get_act(self.act_type)(y) if self.act_type else y
+        from smsut_tpu.models.layout_pin import pin
+        return pin(get_act(self.act_type)(y) if self.act_type else y)
 
 
 # ------------------------------------------------------------ pool / up
@@ -420,11 +422,12 @@ def set_pool_fused(enabled: bool) -> None:
 def pool_to_next_level(x: jax.Array, c: int, last: bool) -> jax.Array:
     """The packed encoder's level transition: maxpool 2x2, then s2d for the
     next packed level (``last=False``) or unpack (``last=True``)."""
+    from smsut_tpu.models.layout_pin import pin
     if last:
-        return packed_max_pool_to_unpacked(x, c)
+        return pin(packed_max_pool_to_unpacked(x, c))
     if _POOL_FUSED:
-        return packed_max_pool_to_packed(x, c)
-    return space_to_depth(packed_max_pool_to_unpacked(x, c))
+        return pin(packed_max_pool_to_packed(x, c))
+    return pin(space_to_depth(packed_max_pool_to_unpacked(x, c)))
 
 
 def packed_max_pool_to_packed(x: jax.Array, c: int) -> jax.Array:

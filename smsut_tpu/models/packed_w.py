@@ -420,14 +420,18 @@ _PACK_W0 = 8
 
 
 _D_PACK_DEEP = False
+_D_PACK_MODE = ""   # ""=inherit pack_mode; "hw"/"w" = discriminator override
 
 
-def set_pack_mode(mode: str, w0: int = 8, d_deep: bool = False) -> None:
+def set_pack_mode(mode: str, w0: int = 8, d_deep: bool = False,
+                  d_mode: str = "") -> None:
     assert mode in ("hw", "w"), mode
-    global _PACK_MODE, _PACK_W0, _D_PACK_DEEP
+    assert d_mode in ("", "hw", "w"), d_mode
+    global _PACK_MODE, _PACK_W0, _D_PACK_DEEP, _D_PACK_MODE
     _PACK_MODE = mode
     _PACK_W0 = int(w0)
     _D_PACK_DEEP = bool(d_deep)
+    _D_PACK_MODE = d_mode
 
 
 def d_pack_deep() -> bool:
@@ -436,6 +440,14 @@ def d_pack_deep() -> bool:
 
 def pack_mode() -> str:
     return _PACK_MODE
+
+
+def d_pack_mode() -> str:
+    """The DISCRIMINATOR's packing mode: the round-3 A/B measured the
+    generator fastest in 'hw' but the discriminator's narrow-channel
+    pyramid fastest W-packed-deep, so the two are selectable
+    independently (Config.d_pack_mode)."""
+    return _D_PACK_MODE or _PACK_MODE
 
 
 def pack_w0() -> int:

@@ -321,7 +321,7 @@ class Discriminator(nn.Module):
         repeat_num = int(np.log2(self.input_size)) - 2
         width = self.width
         i0 = 1
-        if self.pack_levels and pwk.pack_mode() == "w":
+        if self.pack_levels and pwk.d_pack_mode() == "w":
             p0 = pwk.pack_w0()
             y = pwk.PackedStride2ConvW(self.width, p0, "lrelu", self.dtype,
                                        use_bias=True, name="stem")(

@@ -16,5 +16,9 @@ def setup_compute(cfg: Config):
 
     pwk.set_pack_mode(getattr(cfg, "pack_mode", "hw"),
                       getattr(cfg, "pack_w0", 8),
-                      getattr(cfg, "d_pack_deep", False))
+                      getattr(cfg, "d_pack_deep", False),
+                      getattr(cfg, "d_pack_mode", ""))
+    from smsut_tpu.models import layout_pin
+
+    layout_pin.set_mode(getattr(cfg, "layout_pin", "off"))
     return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
