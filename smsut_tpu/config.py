@@ -119,18 +119,26 @@ class Config:
     # transitions and pack_w0 subpixels at level 0 (models/packed_w.py).
     pack_mode: str = "hw"
     pack_w0: int = 8
-    # pack_mode="w" only: keep the discriminator's narrow-channel pyramid
+    # d_pack_mode="w" only: keep the discriminator's narrow-channel pyramid
     # W-packed past the stem (each stride-2 block halves the subpixels for
     # free until the lanes are full-width).
-    d_pack_deep: bool = False
+    d_pack_deep: bool = True
     # discriminator-only pack-mode override (""=inherit pack_mode).  The
     # round-3 A/B measured the generator fastest in "hw" but the
-    # discriminator fastest W-packed-deep ("w" + d_pack_deep).
-    d_pack_mode: str = ""
+    # discriminator fastest W-packed-deep: the MIXED default below took
+    # uganConsis 91.0 -> 81.8 ms/step on the dev chip (BASELINE.md).
+    d_pack_mode: str = "w"
     # pin intermediate activation layouts ("off"|"cmin"|"wmin") via
     # jax.experimental.layout.with_layout_constraint — an attack on the
     # GAN step's 27ms of XLA layout-flip copies (models/layout_pin.py).
+    # MEASURED SLOWER both ways (uganConsis 91->103/130 ms; BASELINE.md)
+    # and crashes the axon backend combined with d_pack_mode="w" — kept
+    # as an experiment knob only.
     layout_pin: str = "off"
+    # run the hot packed SAME convs through the Pallas TPU kernel
+    # (ops/conv_pallas.py): "off" | "on" | "auto" (= on when the backend is
+    # a real TPU).  Attacks the conv emitter's layout-flip copies.
+    conv_pallas: str = "off"
     # fuse the packed pool->space_to_depth level transition so the narrow
     # [B,H',W',C] pooled tensor never materializes (8x lane-padded in HBM).
     # Measured: wins at batch>=32 (supervised 36.6->35.4 ms), loses at the

@@ -224,6 +224,9 @@ def packed_conv_apply(x: jax.Array, w: jax.Array,
     from smsut_tpu.models.layout_pin import pin
     wp = pack_kernel(w, in_segments).astype(dtype)
     kp = wp.shape[0]
+    from smsut_tpu.ops import conv_pallas as cp
+    if cp.enabled_for(x.shape, kp):
+        return cp.conv_same_pallas(x.astype(dtype), wp)
     pad = [(kp // 2, kp // 2)] * 2 if kp > 1 else [(0, 0)] * 2
     return pin(jax.lax.conv_general_dilated(
         pin(x.astype(dtype)), wp, (1, 1), pad,

@@ -1,4 +1,5 @@
 # -*- coding: utf-8 -*-
+import jax
 import jax.numpy as jnp
 
 from smsut_tpu.config import Config
@@ -21,4 +22,9 @@ def setup_compute(cfg: Config):
     from smsut_tpu.models import layout_pin
 
     layout_pin.set_mode(getattr(cfg, "layout_pin", "off"))
+    from smsut_tpu.ops import conv_pallas as cp
+
+    mode = getattr(cfg, "conv_pallas", "off")
+    cp.set_conv_pallas(mode == "on" or (
+        mode == "auto" and jax.default_backend() == "tpu"))
     return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32

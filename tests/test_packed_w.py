@@ -144,11 +144,11 @@ class _wmode:
     """Arm pack_mode='w' for the scope (trace-time global, like
     Config.pack_mode via setup_compute)."""
 
-    def __init__(self, w0, d_deep=False):
-        self.w0, self.d_deep = w0, d_deep
+    def __init__(self, w0, d_deep=False, mode="w", d_mode=""):
+        self.w0, self.d_deep, self.mode, self.d_mode = w0, d_deep, mode, d_mode
 
     def __enter__(self):
-        pw.set_pack_mode("w", self.w0, self.d_deep)
+        pw.set_pack_mode(self.mode, self.w0, self.d_deep, self.d_mode)
 
     def __exit__(self, *a):
         pw.set_pack_mode("hw")
@@ -272,6 +272,72 @@ def test_discriminator_wmode_deep_equivalence(rng):
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(cls1), np.asarray(cls0),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_discriminator_mixed_override_equivalence(rng):
+    """Config.d_pack_mode='w' + d_pack_deep under GLOBAL pack_mode='hw'
+    (the measured-fastest round-3 mixed configuration): the discriminator
+    runs W-packed-deep while the generator family stays on the 2x2
+    space-to-depth path — both must equal their unpacked twins."""
+    from smsut_tpu.models.ugan import Discriminator, UGANnce
+
+    kw = dict(input_size=64, n_modal=4, width=8, max_width=64,
+              dtype=jnp.float32)
+    plain = Discriminator(pack_levels=0, **kw)
+    packed = Discriminator(pack_levels=1, **kw)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 1)).astype(np.float32))
+    params = plain.init(jax.random.PRNGKey(0), x)["params"]
+    src0, cls0 = plain.apply({"params": params}, x)
+    gkw = dict(out_ch=5, n_modal=4, width=8, netF_nc=32, dtype=jnp.float32)
+    g_packed = UGANnce(pack_levels=2, **gkw)
+    xg = jnp.asarray(rng.normal(size=(2, 32, 32, 1)).astype(np.float32))
+    m = jax.nn.one_hot(jnp.asarray([1, 2]), 4)
+    ids = jnp.asarray([0, 3, 1])
+    g_params = g_packed.init(jax.random.PRNGKey(0), xg, m, ids)["params"]
+    g_out0 = g_packed.apply({"params": g_params}, xg, m, ids)  # plain "hw"
+    with _wmode(8, d_deep=True, mode="hw", d_mode="w"):
+        assert (jax.tree_util.tree_map(jnp.shape, params)
+                == jax.tree_util.tree_map(
+                    jnp.shape,
+                    packed.init(jax.random.PRNGKey(0), x)["params"]))
+        src1, cls1 = packed.apply({"params": params}, x)
+        g_out1 = g_packed.apply({"params": g_params}, xg, m, ids)
+    np.testing.assert_allclose(np.asarray(src1), np.asarray(src0),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(cls1), np.asarray(cls0),
+                               rtol=2e-4, atol=2e-4)
+    # the discriminator-only override must leave the generator program
+    # untouched: same hw-packed lowering => bitwise-identical outputs
+    for a, b in zip(g_out1, g_out0):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_gan_train_step_runs_mixed_override(rng):
+    """The full uganConsis jitted step traces and runs under the new
+    default discriminator override (pack_mode='hw', d_pack_mode='w',
+    d_pack_deep=True)."""
+    from smsut_tpu.config import Config
+    from smsut_tpu.train.steps.gan import UGANConsisAlgo
+
+    cfg = Config(input_size=32, base_width=4, batch_size=2,
+                 compute_dtype="float32", pack_mode="hw",
+                 d_pack_mode="w", d_pack_deep=True)
+    algo = UGANConsisAlgo(cfg)
+    try:
+        state = algo.init_state(jax.random.PRNGKey(0))
+        batch = {
+            "img": jnp.asarray(rng.normal(size=(2, 32, 32, 1)).astype(np.float32)),
+            "msk": jnp.asarray(rng.integers(0, 5, size=(2, 32, 32)).astype(np.int32)),
+            "mdl": jnp.asarray([0, 1], jnp.int32),
+            "ul_img": jnp.asarray(rng.normal(size=(2, 32, 32, 1)).astype(np.float32)),
+            "ul_mdl": jnp.asarray([1, 0], jnp.int32),
+        }
+        scalars = dict(algo.epoch_scalars(1), rng=jax.random.PRNGKey(2))
+        state, m = algo.train_step(state, batch, scalars)
+        assert np.isfinite(float(m["loss"]))
+        assert np.isfinite(float(m["D_gp"]))
+    finally:
+        pw.set_pack_mode("hw")
 
 
 def test_avg_pool_w_matches(rng):
