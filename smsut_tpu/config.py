@@ -139,6 +139,10 @@ class Config:
     # (ops/conv_pallas.py): "off" | "on" | "auto" (= on when the backend is
     # a real TPU).  Attacks the conv emitter's layout-flip copies.
     conv_pallas: str = "off"
+    # instance-norm statistics: "reduce" (jnp.sum fusions) or "dot" (MXU
+    # contractions against a ones vector — same f32 sums, different unit;
+    # the GAN profile shows ~7 ms/step of convert_reduce fusions).
+    norm_stats: str = "reduce"
     # fuse the packed pool->space_to_depth level transition so the narrow
     # [B,H',W',C] pooled tensor never materializes (8x lane-padded in HBM).
     # Measured: wins at batch>=32 (supervised 36.6->35.4 ms), loses at the

@@ -51,8 +51,7 @@ class InstanceNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
-        var = jnp.mean(jnp.square(xf), axis=(1, 2), keepdims=True) - jnp.square(mean)
+        mean, var = instance_stats(xf)
         y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
         y = y * scale + bias
         return y.astype(self.dtype)
@@ -116,11 +115,53 @@ class NormAct(nn.Module):
                 return fn(x, scale, bias)
 
         xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
-        var = jnp.mean(jnp.square(xf), axis=(1, 2), keepdims=True) - jnp.square(mean)
+        mean, var = instance_stats(xf)
         y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
         y = y.astype(self.dtype)
         return pin(get_act(self.act_type)(y) if self.act_type else y)
+
+
+_STATS_DOT = False
+
+
+def set_stats_dot(enabled: bool) -> None:
+    """Trace-time toggle (Config.norm_stats='dot'): compute instance-norm
+    statistics as MXU contractions against a ones vector instead of VPU
+    reduce fusions.  Identical math (sum of the same f32 terms); the GAN
+    profile shows ~7 ms/step of convert_reduce fusions at ~60x over
+    bandwidth, which the MXU form attacks."""
+    global _STATS_DOT
+    _STATS_DOT = bool(enabled)
+
+
+def stats_dot_enabled() -> bool:
+    return _STATS_DOT
+
+
+def spatial_sums(xf: jax.Array) -> "tuple[jax.Array, jax.Array]":
+    """(sum, sum-of-squares) over (H, W) per (batch, channel): [B,C] each.
+    Reduce- or MXU-dot-based per :func:`set_stats_dot`."""
+    b, h, w, c = xf.shape
+    if not _STATS_DOT:
+        return xf.sum(axis=(1, 2)), jnp.square(xf).sum(axis=(1, 2))
+    x2 = xf.reshape(b, h * w, c)
+    ones = jnp.ones((h * w,), xf.dtype)
+    dims = (((1,), (0,)), ((), ()))
+    s1 = jax.lax.dot_general(x2, ones, dims,
+                             preferred_element_type=jnp.float32)
+    s2 = jax.lax.dot_general(jnp.square(x2), ones, dims,
+                             preferred_element_type=jnp.float32)
+    return s1, s2
+
+
+def instance_stats(xf: jax.Array) -> "tuple[jax.Array, jax.Array]":
+    """Per-sample instance-norm (mean, var) over (H, W), keepdims layout."""
+    h, w = xf.shape[1], xf.shape[2]
+    s1, s2 = spatial_sums(xf)
+    n = h * w
+    mean = (s1 / n)[:, None, None, :]
+    var = (s2 / n)[:, None, None, :] - jnp.square(mean)
+    return mean, var
 
 
 _FUSED_NORM = False

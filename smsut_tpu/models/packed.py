@@ -58,6 +58,34 @@ def depth_to_space(x: jax.Array, c: int) -> jax.Array:
 
 
 # ------------------------------------------------------------ packed conv
+import functools as _functools
+
+import numpy as _np
+
+
+@_functools.lru_cache(maxsize=None)
+def _placement(k: int):
+    """Constant 0/1 placement tensor P[u,v,ku,kv,s_in,s_out] for the packed
+    kernel build: each packed-kernel slot receives at most ONE original tap
+    (slots are disjoint), so `einsum(w, P)` equals the elementwise .set()
+    loop bitwise — but lowers to ONE fused contraction instead of 9*k*k
+    dynamic-update-slices re-executed every step (profiled at ~1-2 ms/step
+    of tiny DUS chains on the GAN iteration)."""
+    pad = k // 2
+    offs = sorted({(d - pad + u) // 2 for d in (0, 1) for u in range(k)})
+    kp = offs[-1] - offs[0] + 1
+    p = _np.zeros((k, k, kp, kp, 4, 4), _np.float32)
+    for dy in (0, 1):
+        for dx in (0, 1):
+            s_out = dy * 2 + dx
+            for u in range(k):
+                ty, ay = divmod(dy - pad + u, 2)
+                for v in range(k):
+                    tx, ax = divmod(dx - pad + v, 2)
+                    p[u, v, ty - offs[0], tx - offs[0], ay * 2 + ax, s_out] = 1.0
+    return p
+
+
 def pack_kernel(w: jax.Array, in_segments: Sequence[int]) -> jax.Array:
     """Build the packed conv kernel from an original SAME kernel.
 
@@ -68,42 +96,22 @@ def pack_kernel(w: jax.Array, in_segments: Sequence[int]) -> jax.Array:
     Output-subpixel (dy,dx) of packed pixel (i,j) is original pixel
     (2i+dy, 2j+dx); its tap (u,v) reads original row 2i+dy-k//2+u, which is
     packed row i + (dy-k//2+u)//2, subpixel (dy-k//2+u) % 2 — always within
-    a 3-tap packed window for k in {1,3,5}.
+    a 3-tap packed window for k in {1,3,5}.  Emitted as ONE placement
+    einsum per input segment (see :func:`_placement`).
     """
     k, _, cin, cout = w.shape
     assert k % 2 == 1, "packed conv only defined for odd kernels"
     assert sum(in_segments) == cin, (in_segments, cin)
-    pad = k // 2
-    offs = sorted({(d - pad + u) // 2 for d in (0, 1) for u in range(k)})
-    kp = offs[-1] - offs[0] + 1
-    assert kp <= 3, kp
-
-    seg_off = []          # packed channel offset of each segment
-    off = 0
+    p = jnp.asarray(_placement(k), w.dtype)
+    kp = p.shape[2]
+    parts, cbase = [], 0
     for cseg in in_segments:
-        seg_off.append(off)
-        off += 4 * cseg
-    cin_p = off
-
-    wp = jnp.zeros((kp, kp, cin_p, 4 * cout), w.dtype)
-    for dy in (0, 1):
-        for dx in (0, 1):
-            out0 = (dy * 2 + dx) * cout
-            for u in range(k):
-                ty, ay = divmod(dy - pad + u, 2)
-                ku = ty - offs[0]
-                for v in range(k):
-                    tx, ax = divmod(dx - pad + v, 2)
-                    kv = tx - offs[0]
-                    s_in = ay * 2 + ax
-                    cbase = 0
-                    for cseg, soff in zip(in_segments, seg_off):
-                        wp = wp.at[ku, kv,
-                                   soff + s_in * cseg: soff + (s_in + 1) * cseg,
-                                   out0: out0 + cout].set(
-                            w[u, v, cbase: cbase + cseg, :])
-                        cbase += cseg
-    return wp
+        # [kp,kp, s_in, Cseg, s_out, Cout] -> [kp, kp, 4*Cseg, 4*Cout]
+        seg = jnp.einsum("uvio,uvabst->absito",
+                         w[:, :, cbase: cbase + cseg, :], p)
+        parts.append(seg.reshape(kp, kp, 4 * cseg, 4 * cout))
+        cbase += cseg
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=2)
 
 
 # Packed-conv lowering selector ("v1" | "v2" | "v2k3"): "v2" cuts the
@@ -258,25 +266,31 @@ class PackedConv(nn.Module):
         return y
 
 
+@_functools.lru_cache(maxsize=None)
+def _placement_stride2(k: int):
+    """P[u,v,ku,kv,s_in] for the stride-2 stem pack (see _placement)."""
+    offs = sorted({(u - 1) // 2 for u in range(k)})
+    kp = offs[-1] - offs[0] + 1
+    p = _np.zeros((k, k, kp, kp, 4), _np.float32)
+    for u in range(k):
+        ty, ay = divmod(u - 1, 2)
+        for v in range(k):
+            tx, ax = divmod(v - 1, 2)
+            p[u, v, ty - offs[0], tx - offs[0], ay * 2 + ax] = 1.0
+    return p
+
+
 def pack_kernel_stride2(w: jax.Array) -> jax.Array:
     """Stride-2 SAME-ish conv (k=4, pad 1 — the PatchGAN stem) on the packed
     grid: one output per packed pixel, so the packed conv is stride 1 with an
     UNPACKED output.  y[i] taps original row 2i-1+u = packed row i+(u-1)//2,
-    subpixel (u-1)%2."""
+    subpixel (u-1)%2.  One placement einsum (see :func:`_placement`)."""
     k, _, cin, cout = w.shape
     assert k == 4, k
-    offs = sorted({(u - 1) // 2 for u in range(k)})
-    kp = offs[-1] - offs[0] + 1
-    wp = jnp.zeros((kp, kp, 4 * cin, cout), w.dtype)
-    for u in range(k):
-        ty, ay = divmod(u - 1, 2)
-        ku = ty - offs[0]
-        for v in range(k):
-            tx, ax = divmod(v - 1, 2)
-            kv = tx - offs[0]
-            s = ay * 2 + ax
-            wp = wp.at[ku, kv, s * cin: (s + 1) * cin, :].set(w[u, v])
-    return wp
+    p = jnp.asarray(_placement_stride2(k), w.dtype)
+    kp = p.shape[2]
+    wp = jnp.einsum("uvio,uvabs->absio", w, p)
+    return wp.reshape(kp, kp, 4 * cin, cout)
 
 
 class PackedStride2Conv(nn.Module):
@@ -384,8 +398,11 @@ class PackedNormAct(nn.Module):
 
         b, h, w, _ = x.shape
         xf = x.astype(jnp.float32)
-        s1 = jnp.sum(xf, axis=(1, 2)).reshape(b, 4, c).sum(axis=1)      # [B,C]
-        s2 = jnp.sum(jnp.square(xf), axis=(1, 2)).reshape(b, 4, c).sum(axis=1)
+        from smsut_tpu.models.layers import spatial_sums
+
+        t1, t2 = spatial_sums(xf)                                       # [B,4C]
+        s1 = t1.reshape(b, 4, c).sum(axis=1)                            # [B,C]
+        s2 = t2.reshape(b, 4, c).sum(axis=1)
         n = h * w * 4
         mean = s1 / n
         var = s2 / n - jnp.square(mean)

@@ -54,6 +54,42 @@ def repack_w(x: jax.Array, p_from: int, p_to: int) -> jax.Array:
 
 
 # ------------------------------------------------------------ packed conv
+import functools as _functools
+
+import numpy as _np
+
+
+@_functools.lru_cache(maxsize=None)
+def _placement_w(k: int, p: int):
+    """Constant 0/1 placement P[v, kv, ax, dx] for the W-packed kernel
+    build: slots are disjoint, so `einsum(w, P)` equals the .set() loop
+    bitwise while lowering to ONE fused contraction per segment instead of
+    per-step dynamic-update-slice chains (see packed._placement)."""
+    pad = k // 2
+    offs = sorted({(d - pad + v) // p for d in (0, p - 1) for v in range(k)})
+    kp = offs[-1] - offs[0] + 1
+    pm = _np.zeros((k, kp, p, p), _np.float32)
+    for dx in range(p):
+        for v in range(k):
+            t, ax = divmod(dx - pad + v, p)
+            pm[v, t - offs[0], ax, dx] = 1.0
+    return pm
+
+
+@_functools.lru_cache(maxsize=None)
+def _placement_w_stride2(k: int, p: int):
+    """P[v, kv, ax, dxo] for the W-packed stride-2 stem, plus offs[0]."""
+    q = p // 2
+    offs = sorted({(2 * d - 1 + v) // p for d in (0, q - 1) for v in range(k)})
+    kp = offs[-1] - offs[0] + 1
+    pm = _np.zeros((k, kp, p, q), _np.float32)
+    for dxo in range(q):
+        for v in range(k):
+            t, ax = divmod(2 * dxo - 1 + v, p)
+            pm[v, t - offs[0], ax, dxo] = 1.0
+    return pm, offs[0]
+
+
 def pack_kernel_w(w: jax.Array, p: int, in_segments: Sequence[int]) -> jax.Array:
     """Build the W-packed conv kernel from an original SAME kernel.
 
@@ -67,29 +103,17 @@ def pack_kernel_w(w: jax.Array, p: int, in_segments: Sequence[int]) -> jax.Array
     k, _, cin, cout = w.shape
     assert k % 2 == 1, "W-packed conv only defined for odd kernels"
     assert sum(in_segments) == cin, (in_segments, cin)
-    pad = k // 2
-    offs = sorted({(d - pad + v) // p for d in (0, p - 1) for v in range(k)})
-    kp = offs[-1] - offs[0] + 1
+    pm = jnp.asarray(_placement_w(k, p), w.dtype)
+    kp = pm.shape[1]
     assert kp % 2 == 1, kp  # symmetric window for SAME padding
-
-    seg_off, off = [], 0
+    parts, cbase = [], 0
     for cseg in in_segments:
-        seg_off.append(off)
-        off += p * cseg
-
-    wp = jnp.zeros((k, kp, off, p * cout), w.dtype)
-    for dx in range(p):
-        o0 = dx * cout
-        for v in range(k):
-            t, ax = divmod(dx - pad + v, p)
-            kv = t - offs[0]
-            cbase = 0
-            for cseg, soff in zip(in_segments, seg_off):
-                wp = wp.at[:, kv,
-                           soff + ax * cseg: soff + (ax + 1) * cseg,
-                           o0: o0 + cout].set(w[:, v, cbase: cbase + cseg, :])
-                cbase += cseg
-    return wp
+        # [k, kp, ax, Cseg, dx, Cout] -> [k, kp, p*Cseg, p*Cout]
+        seg = jnp.einsum("uvio,vkad->ukaido",
+                         w[:, :, cbase: cbase + cseg, :], pm)
+        parts.append(seg.reshape(k, kp, p * cseg, p * cout))
+        cbase += cseg
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=2)
 
 
 def conv_w(x: jax.Array, w: jax.Array, p: int, in_segments: Sequence[int],
@@ -127,17 +151,11 @@ def pack_kernel_w_stride2(w: jax.Array, p: int) -> jax.Array:
     k, _, cin, cout = w.shape
     assert k == 4 and p % 2 == 0, (k, p)
     q = p // 2
-    offs = sorted({(2 * d - 1 + v) // p for d in (0, q - 1) for v in range(k)})
-    kp = offs[-1] - offs[0] + 1
-    wp = jnp.zeros((k, kp, p * cin, q * cout), w.dtype)
-    for dxo in range(q):
-        o0 = dxo * cout
-        for v in range(k):
-            t, ax = divmod(2 * dxo - 1 + v, p)
-            kv = t - offs[0]
-            wp = wp.at[:, kv, ax * cin: (ax + 1) * cin,
-                       o0: o0 + cout].set(w[:, v])
-    return wp, offs[0]
+    pm_np, off0 = _placement_w_stride2(k, p)
+    pm = jnp.asarray(pm_np, w.dtype)
+    kp = pm.shape[1]
+    wp = jnp.einsum("uvio,vkad->ukaido", w, pm)
+    return wp.reshape(k, kp, p * cin, q * cout), off0
 
 
 def stem_conv_w(x: jax.Array, w: jax.Array, p: int, dtype) -> jax.Array:
@@ -157,9 +175,12 @@ def norm_stats_w(x: jax.Array, p: int, c: int):
     Returns (s1, s2, n) with s1/s2 [B, C] float32."""
     b, h, j, pc = x.shape
     assert pc == p * c, (pc, p, c)
-    xf = x.astype(jnp.float32).reshape(b, h, j, p, c)
-    s1 = jnp.sum(xf, axis=(1, 2, 3))
-    s2 = jnp.sum(jnp.square(xf), axis=(1, 2, 3))
+    from smsut_tpu.models.layers import spatial_sums
+
+    xf = x.astype(jnp.float32)
+    t1, t2 = spatial_sums(xf)                                  # [B, p*C]
+    s1 = t1.reshape(b, p, c).sum(axis=1)
+    s2 = t2.reshape(b, p, c).sum(axis=1)
     return s1, s2, h * j * p
 
 

@@ -38,86 +38,96 @@ def _interpret() -> bool:
 
 
 # ------------------------------------------------------------------ forward
-def _fwd_kernel(x_ref, w_ref, y_ref):
-    """One image per grid step: 9 accumulated [H*W,Cin]@[Cin,Cout] MXU dots
-    over statically shifted (SAME zero-padded) views of the VMEM block."""
+def _pick_strip(h: int, w: int, c: int) -> int:
+    """Largest H-strip whose im2col buffer stays ~2.5 MB (VMEM budget:
+    2x in + 2x out pipeline blocks + padded copy + col)."""
+    for strip in (32, 16, 8, 4, 2, 1):
+        if strip <= h and h % strip == 0 and strip * w * 9 * c * 2 <= 2_600_000:
+            return strip
+    return 1
+
+
+def _fwd_kernel(strip, x_ref, w_ref, y_ref, col_ref):
+    """One image per grid step, static H-strip loop: build a
+    [strip*W, 9C] im2col block in VMEM from shifted views of one padded
+    copy, then a single [strip*W, 9C] @ [9C, Cout] MXU dot per strip.
+    (Mosaic has no dynamic_slice; the strip loop is unrolled.)"""
     h, w, c = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
-    cout = w_ref.shape[3]
-    k = w_ref.shape[0]
-    pad = k // 2
-    x = x_ref[0]
-    acc = jnp.zeros((h * w, cout), jnp.float32)
-    for u in range(k):
-        for v in range(k):
-            du, dv = u - pad, v - pad
-            xs = jnp.pad(
-                x[max(0, du): h + min(0, du),
-                  max(0, dv): w + min(0, dv), :],
-                ((max(0, -du), max(0, du)),
-                 (max(0, -dv), max(0, dv)), (0, 0)))
-            acc = acc + jnp.dot(xs.reshape(h * w, c), w_ref[u, v],
-                                preferred_element_type=jnp.float32)
-    y_ref[0] = acc.reshape(h, w, cout).astype(y_ref.dtype)
+    cout = w_ref.shape[1]
+    xp = jnp.pad(x_ref[0], ((1, 1), (1, 1), (0, 0)))   # [H+2, W+2, C]
+    for r0 in range(0, h, strip):
+        for u in range(3):
+            for v in range(3):
+                xs = xp[r0 + u: r0 + u + strip, v: v + w, :]
+                col_ref[:, (u * 3 + v) * c:(u * 3 + v + 1) * c] = (
+                    xs.reshape(strip * w, c))
+        y = jnp.dot(col_ref[:], w_ref[:], preferred_element_type=jnp.float32)
+        y_ref[0, r0: r0 + strip] = y.reshape(strip, w, cout).astype(
+            y_ref.dtype)
 
 
 def _conv_fwd(x: jax.Array, wp: jax.Array) -> jax.Array:
     b, h, w, c = x.shape
     k, _, _, cout = wp.shape
+    assert k == 3, k
+    strip = _pick_strip(h, w, c)
+    wf = wp.reshape(9 * c, cout)
     return pl.pallas_call(
-        _fwd_kernel,
+        functools.partial(_fwd_kernel, strip),
         interpret=_interpret(),
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, k, c, cout), lambda i: (0, 0, 0, 0),
+            pl.BlockSpec((9 * c, cout), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, h, w, cout), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w, cout), x.dtype),
+        scratch_shapes=[pltpu.VMEM((strip * w, 9 * c), x.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * h * w * k * k * c * cout,
             bytes_accessed=(x.size + cout * b * h * w) * x.dtype.itemsize,
             transcendentals=0),
-    )(x, wp)
+    )(x, wf)
 
 
 # ------------------------------------------------------------------ dw
-def _dw_kernel(x_ref, g_ref, dw_ref):
-    """dw[u,v,ci,co] = sum_{b,i,j} x[b,i+u-1,j+v-1,ci] * g[b,i,j,co];
+def _dw_kernel(strip, x_ref, g_ref, dw_ref, col_ref):
+    """dw[(uv)ci, co] = sum_{b,i,j} col[b,(i,j),(uv)ci] * g[b,(i,j),co]:
+    the same per-strip im2col block, contracted against the cotangent;
     grid over batch, accumulating into the (revisited) output block."""
     h, w, c = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
     cout = g_ref.shape[3]
-    k = dw_ref.shape[0]
-    pad = k // 2
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _():
         dw_ref[:] = jnp.zeros_like(dw_ref)
 
-    x = x_ref[0]
-    g = g_ref[0].reshape(h * w, cout)
-    for u in range(k):
-        for v in range(k):
-            du, dv = u - pad, v - pad
-            xs = jnp.pad(
-                x[max(0, du): h + min(0, du),
-                  max(0, dv): w + min(0, dv), :],
-                ((max(0, -du), max(0, du)),
-                 (max(0, -dv), max(0, dv)), (0, 0)))
-            dw_ref[u, v] += jax.lax.dot_general(
-                xs.reshape(h * w, c), g,
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+    xp = jnp.pad(x_ref[0], ((1, 1), (1, 1), (0, 0)))
+    for r0 in range(0, h, strip):
+        for u in range(3):
+            for v in range(3):
+                xs = xp[r0 + u: r0 + u + strip, v: v + w, :]
+                col_ref[:, (u * 3 + v) * c:(u * 3 + v + 1) * c] = (
+                    xs.reshape(strip * w, c))
+        g = g_ref[0, r0: r0 + strip].reshape(strip * w, cout)
+        dw_ref[:] += jax.lax.dot_general(
+            col_ref[:], g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
 
 def _conv_dw(x: jax.Array, g: jax.Array, k: int) -> jax.Array:
     b, h, w, c = x.shape
     cout = g.shape[3]
-    return pl.pallas_call(
-        _dw_kernel,
+    assert k == 3, k
+    strip = _pick_strip(h, w, c)
+    dwf = pl.pallas_call(
+        functools.partial(_dw_kernel, strip),
         interpret=_interpret(),
         grid=(b,),
         in_specs=[
@@ -126,14 +136,18 @@ def _conv_dw(x: jax.Array, g: jax.Array, k: int) -> jax.Array:
             pl.BlockSpec((1, h, w, cout), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((k, k, c, cout), lambda i: (0, 0, 0, 0),
+        out_specs=pl.BlockSpec((9 * c, cout), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((k, k, c, cout), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((9 * c, cout), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((strip * w, 9 * c), x.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * h * w * k * k * c * cout,
             bytes_accessed=(x.size + g.size) * x.dtype.itemsize,
             transcendentals=0),
     )(x, g)
+    return dwf.reshape(3, 3, c, cout)
 
 
 # ------------------------------------------------------------- custom vjp
@@ -174,14 +188,17 @@ def set_conv_pallas(enabled: bool) -> None:
 
 
 def enabled_for(x_shape, k: int) -> bool:
-    """The Pallas path covers the packed hot shapes: odd k<=3, channel
-    counts that tile the MXU reasonably (>=64 in, lanes multiple of 8),
-    spatial extents that fit a per-image VMEM block."""
-    if not _ENABLED or k % 2 == 0 or k > 3:
+    """The Pallas path covers the packed hot shapes: k==3 SAME convs with
+    channel counts that tile the MXU reasonably (>=64 in, lanes multiple
+    of 8) and spatial extents that fit per-image VMEM blocks.  k==1 stays
+    with XLA (a plain dot, already layout-flexible)."""
+    if not _ENABLED or k != 3:
         return False
     b, h, w, c = x_shape
     if c < _MIN_LANES or c % 8 or w % 8:
         return False
-    # per-image working set: x block + f32 acc + y block (<= ~12 MB)
-    bytes_est = h * w * (c * 2 * 2 + c * 4 + c * 2)
-    return bytes_est <= 12 * 1024 * 1024
+    # pipeline blocks (2x in + 2x out) + padded copy + im2col strip,
+    # against the raised 64MB vmem_limit_bytes (v5e VMEM > the 16MB
+    # default scoped limit; headroom left for Mosaic stack temporaries)
+    bytes_est = h * w * c * 2 * 5 + _pick_strip(h, w, c) * w * 9 * c * 2
+    return bytes_est <= 40 * 1024 * 1024

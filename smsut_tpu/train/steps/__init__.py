@@ -3,13 +3,14 @@ import jax
 import jax.numpy as jnp
 
 from smsut_tpu.config import Config
-from smsut_tpu.models.layers import set_fused_norm
+from smsut_tpu.models.layers import set_fused_norm, set_stats_dot
 
 
 def setup_compute(cfg: Config):
     """Shared algorithm setup: resolve the activation dtype and arm the fused
     Pallas norm path / fused pool transition when requested."""
     set_fused_norm(cfg.use_pallas)
+    set_stats_dot(getattr(cfg, "norm_stats", "reduce") == "dot")
     from smsut_tpu.models import packed as pk
 
     pk.set_pool_fused(getattr(cfg, "pool_pack_fused", False))

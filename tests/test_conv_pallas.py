@@ -16,8 +16,9 @@ def _xla_conv(x, wp):
         x, wp, (1, 1), pad, dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
-@pytest.mark.parametrize("k", [1, 3])
-@pytest.mark.parametrize("shape", [(2, 16, 16, 64), (1, 8, 8, 128)])
+@pytest.mark.parametrize("k", [3])
+@pytest.mark.parametrize("shape", [(2, 16, 16, 64), (1, 8, 8, 128),
+                                   (2, 24, 16, 64)])
 def test_forward_matches_xla(rng, k, shape):
     x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
     wp = jnp.asarray(
@@ -72,6 +73,7 @@ def test_enabled_for_guards():
         assert cp.enabled_for((2, 16, 16, 64), 3)
         assert not cp.enabled_for((2, 16, 16, 32), 3)      # narrow lanes
         assert not cp.enabled_for((2, 16, 16, 64), 4)      # even k (stem)
+        assert not cp.enabled_for((2, 16, 16, 64), 1)      # 1x1 stays XLA
         assert not cp.enabled_for((2, 512, 512, 128), 3)   # VMEM blowout
     finally:
         cp.set_conv_pallas(False)

@@ -1,0 +1,76 @@
+# -*- coding: utf-8 -*-
+"""norm_stats='dot' (MXU-contraction statistics) == the reduce-based
+statistics, through every norm path that consumes spatial_sums."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smsut_tpu.models import layers
+
+
+def _with_dot(fn):
+    layers.set_stats_dot(True)
+    try:
+        return fn()
+    finally:
+        layers.set_stats_dot(False)
+
+
+def test_spatial_sums_match(rng):
+    x = jnp.asarray(rng.normal(size=(3, 12, 10, 7)).astype(np.float32))
+    a1, a2 = layers.spatial_sums(x)
+    b1, b2 = _with_dot(lambda: layers.spatial_sums(x))
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(a1),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(b2), np.asarray(a2),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_norm_act_matches(rng):
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 5)).astype(np.float32))
+    mod = layers.NormAct("instance", "lrelu", jnp.float32)
+    params = mod.init(jax.random.PRNGKey(0), x)
+    y0 = mod.apply(params, x)
+    y1 = _with_dot(lambda: mod.apply(params, x))
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_packed_norm_matches(rng):
+    from smsut_tpu.models.packed import PackedNormAct
+
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 4 * 6)).astype(np.float32))
+    mod = PackedNormAct("instance", "lrelu", 6, jnp.float32)
+    params = mod.init(jax.random.PRNGKey(0), x)
+    y0 = mod.apply(params, x)
+    y1 = _with_dot(lambda: mod.apply(params, x))
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_norm_stats_w_matches(rng):
+    from smsut_tpu.models import packed_w as pw
+
+    x = jnp.asarray(rng.normal(size=(2, 8, 4, 4 * 3)).astype(np.float32))
+    a = pw.norm_stats_w(x, 4, 3)
+    b = _with_dot(lambda: pw.norm_stats_w(x, 4, 3))
+    assert a[2] == b[2]
+    for u, v in zip(a[:2], b[:2]):
+        np.testing.assert_allclose(np.asarray(v), np.asarray(u),
+                                   rtol=1e-5, atol=1e-4)
+
+
+def test_gradients_match(rng):
+    """The dot-based stats produce the same gradients (the norm backward
+    flows through the statistics)."""
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 5)).astype(np.float32))
+    mod = layers.NormAct("instance", "lrelu", jnp.float32)
+    params = mod.init(jax.random.PRNGKey(0), x)
+
+    def loss(xx):
+        return jnp.sum(jnp.square(mod.apply(params, xx)))
+
+    g0 = jax.grad(loss)(x)
+    g1 = _with_dot(lambda: jax.grad(loss)(x))
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=1e-4, atol=1e-4)

@@ -22,6 +22,7 @@ Usage: python tools/microbench_pallas_conv.py [batch] [iters]
 """
 from __future__ import annotations
 
+import functools
 import sys
 import time
 
@@ -36,37 +37,34 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 # ------------------------------------------------------------------ kernels
-def _dots_kernel(x_ref, w_ref, y_ref, acc_ref):
-    """One image per grid step: pad-free shifted views via static slices of
-    the [H, W, C] block; 9 accumulated MXU dots of [H*W, C] @ [C, Cout]."""
-    h, w, c = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
-    cout = w_ref.shape[3]
-    acc_ref[:] = jnp.zeros_like(acc_ref)
-    x = x_ref[0]                                   # [H, W, C]
-    for u in range(3):
-        for v in range(3):
-            # y[i,j] += x[i+u-1, j+v-1] @ w[u,v]; emulate SAME padding by
-            # zero-padding the shifted view (static slices, VPU)
-            xs = jnp.pad(
-                x[max(0, u - 1): h + min(0, u - 1),
-                  max(0, v - 1): w + min(0, v - 1), :],
-                ((1 - u if u < 1 else 0, u - 1 if u > 1 else 0),
-                 (1 - v if v < 1 else 0, v - 1 if v > 1 else 0),
-                 (0, 0)))
-            acc_ref[:] += jnp.dot(xs.reshape(h * w, c), w_ref[u, v],
-                                  preferred_element_type=jnp.float32)
-    y_ref[0] = acc_ref[:].reshape(h, w, cout).astype(y_ref.dtype)
-
-
 def _interp() -> bool:
     return jax.default_backend() == "cpu"
 
 
-def pallas_conv_dots(x: jax.Array, wp: jax.Array) -> jax.Array:
+def _dots_kernel(strip, x_ref, w_ref, y_ref):
+    """One image per grid step, static H-strip loop: per strip, 9
+    accumulated MXU dots of [strip*W, C] @ [C, Cout] over shifted views of
+    one padded VMEM copy (bounded working set; Mosaic has no
+    dynamic_slice, so the strip loop is unrolled)."""
+    h, w, c = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
+    cout = w_ref.shape[3]
+    xp = jnp.pad(x_ref[0], ((1, 1), (1, 1), (0, 0)))   # [H+2, W+2, C]
+    for r0 in range(0, h, strip):
+        acc = jnp.zeros((strip * w, cout), jnp.float32)
+        for u in range(3):
+            for v in range(3):
+                xs = xp[r0 + u: r0 + u + strip, v: v + w, :]
+                acc = acc + jnp.dot(xs.reshape(strip * w, c), w_ref[u, v],
+                                    preferred_element_type=jnp.float32)
+        y_ref[0, r0: r0 + strip] = acc.reshape(strip, w, cout).astype(
+            y_ref.dtype)
+
+
+def pallas_conv_dots(x: jax.Array, wp: jax.Array, strip: int = 16) -> jax.Array:
     b, h, w, c = x.shape
     cout = wp.shape[3]
     return pl.pallas_call(
-        _dots_kernel,
+        functools.partial(_dots_kernel, strip),
         interpret=_interp(),
         grid=(b,),
         in_specs=[
@@ -78,41 +76,32 @@ def pallas_conv_dots(x: jax.Array, wp: jax.Array) -> jax.Array:
         out_specs=pl.BlockSpec((1, h, w, cout), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w, cout), x.dtype),
-        scratch_shapes=[pltpu.VMEM((h * w, cout), jnp.float32)],
     )(x, wp)
 
 
-def _im2col_kernel(x_ref, w_ref, y_ref, col_ref):
-    """One image, H-strips: build [rows*W, 9C] im2col in VMEM, one dot."""
+def _im2col_kernel(strip, x_ref, w_ref, y_ref, col_ref):
+    """One image, static H-strips: [strip*W, 9C] im2col in VMEM, one dot."""
     h, w, c = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
     cout = w_ref.shape[1]
-    strip = col_ref.shape[0] // w
     xp = jnp.pad(x_ref[0], ((1, 1), (1, 1), (0, 0)))   # once per image
-    n_strips = h // strip
-
-    def body(s, carry):
-        r0 = s * strip
+    for r0 in range(0, h, strip):
         for u in range(3):
             for v in range(3):
-                xs = jax.lax.dynamic_slice(
-                    xp, (r0 + u, v, 0), (strip, w, c))
+                xs = xp[r0 + u: r0 + u + strip, v: v + w, :]
                 col_ref[:, (u * 3 + v) * c:(u * 3 + v + 1) * c] = (
                     xs.reshape(strip * w, c))
         y = jnp.dot(col_ref[:], w_ref[:],
                     preferred_element_type=jnp.float32)
-        y_ref[0, pl.ds(r0, strip)] = y.reshape(strip, w, cout).astype(
+        y_ref[0, r0: r0 + strip] = y.reshape(strip, w, cout).astype(
             y_ref.dtype)
-        return carry
-
-    jax.lax.fori_loop(0, n_strips, body, 0)
 
 
-def pallas_conv_im2col(x: jax.Array, wp: jax.Array, strip: int = 32) -> jax.Array:
+def pallas_conv_im2col(x: jax.Array, wp: jax.Array, strip: int = 16) -> jax.Array:
     b, h, w, c = x.shape
     cout = wp.shape[3]
     wf = wp.reshape(9 * c, cout)
     return pl.pallas_call(
-        _im2col_kernel,
+        functools.partial(_im2col_kernel, strip),
         interpret=_interp(),
         grid=(b,),
         in_specs=[
@@ -125,6 +114,48 @@ def pallas_conv_im2col(x: jax.Array, wp: jax.Array, strip: int = 32) -> jax.Arra
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w, cout), x.dtype),
         scratch_shapes=[pltpu.VMEM((strip * w, 9 * c), x.dtype)],
+    )(x, wf)
+
+
+def _im2col2_kernel(strip, x_ref, w_ref, y_ref, col0, col1):
+    """im2col with TWO alternating col buffers: strip s+1's col build has no
+    dependence on strip s's dot, so the VPU copies can overlap the MXU."""
+    h, w, c = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
+    cout = w_ref.shape[1]
+    xp = jnp.pad(x_ref[0], ((1, 1), (1, 1), (0, 0)))
+    cols = (col0, col1)
+    for s, r0 in enumerate(range(0, h, strip)):
+        col = cols[s % 2]
+        for u in range(3):
+            for v in range(3):
+                xs = xp[r0 + u: r0 + u + strip, v: v + w, :]
+                col[:, (u * 3 + v) * c:(u * 3 + v + 1) * c] = (
+                    xs.reshape(strip * w, c))
+        y = jnp.dot(col[:], w_ref[:], preferred_element_type=jnp.float32)
+        y_ref[0, r0: r0 + strip] = y.reshape(strip, w, cout).astype(
+            y_ref.dtype)
+
+
+def pallas_conv_im2col2(x: jax.Array, wp: jax.Array,
+                        strip: int = 16) -> jax.Array:
+    b, h, w, c = x.shape
+    cout = wp.shape[3]
+    wf = wp.reshape(9 * c, cout)
+    return pl.pallas_call(
+        functools.partial(_im2col2_kernel, strip),
+        interpret=_interp(),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * c, cout), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, w, cout), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, cout), x.dtype),
+        scratch_shapes=[pltpu.VMEM((strip * w, 9 * c), x.dtype),
+                        pltpu.VMEM((strip * w, 9 * c), x.dtype)],
     )(x, wf)
 
 
@@ -167,7 +198,10 @@ def main():
     flops = 2 * b * h * w * 9 * c * cout
     for name, fn in [("xla", xla_conv),
                      ("dots", pallas_conv_dots),
-                     ("im2col", pallas_conv_im2col)]:
+                     ("im2col", pallas_conv_im2col),
+                     ("im2col2", pallas_conv_im2col2),
+                     ("im2col2_32", lambda a, b: pallas_conv_im2col2(a, b, 32)),
+                     ("im2col_32", lambda a, b: pallas_conv_im2col(a, b, 32))]:
         try:
             out = np.asarray(fn(x, wp).astype(jnp.float32))
             err = np.max(np.abs(out - ref)) / (np.max(np.abs(ref)) + 1e-9)
