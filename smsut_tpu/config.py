@@ -147,8 +147,9 @@ class Config:
     # [B,H',W',C] pooled tensor never materializes (8x lane-padded in HBM).
     # Measured: wins at batch>=32 (supervised 36.6->35.4 ms), loses at the
     # GAN's batch 16 (92.9->102.9 — the tensor was VMEM-resident anyway).
-    # Opt in for large-batch supervised runs (BASELINE.md round 3).
-    pool_pack_fused: bool = False
+    # None = auto: on when batch_size >= 32 (the spilled regime), else off
+    # (BASELINE.md round 3).
+    pool_pack_fused: Optional[bool] = None
     # run joint augmentation on-device as one fused warp (this host has a
     # single CPU; the reference's host augmentation chain costs ~7ms/slice
     # vs a ~0.6ms TPU step).  False selects the strict-parity host pipeline.

@@ -13,7 +13,10 @@ def setup_compute(cfg: Config):
     set_stats_dot(getattr(cfg, "norm_stats", "reduce") == "dot")
     from smsut_tpu.models import packed as pk
 
-    pk.set_pool_fused(getattr(cfg, "pool_pack_fused", False))
+    ppf = getattr(cfg, "pool_pack_fused", None)
+    if ppf is None:   # auto: the narrow pooled tensor spills HBM at b>=32
+        ppf = cfg.batch_size >= 32
+    pk.set_pool_fused(bool(ppf))
     from smsut_tpu.models import packed_w as pwk
 
     pwk.set_pack_mode(getattr(cfg, "pack_mode", "hw"),
