@@ -128,6 +128,13 @@ class Config:
     # discriminator fastest W-packed-deep: the MIXED default below took
     # uganConsis 91.0 -> 81.8 ms/step on the dev chip (BASELINE.md).
     d_pack_mode: str = "w"
+    # run the UGAN twin towers' level-0 stages as ONE paired program:
+    # channel-concatenated activations + block-diagonal full-lane convs
+    # (models/paired.py — identical math; kills the narrow-channel conv
+    # emitter's C-minor<->W-minor layout flips at 2x the executed MACs,
+    # measured ~28% faster per twin pair).  None = auto: on when the
+    # generator packing is "hw" with pack_levels >= 1.
+    pair_towers: Optional[bool] = None
     # pin intermediate activation layouts ("off"|"cmin"|"wmin") via
     # jax.experimental.layout.with_layout_constraint — an attack on the
     # GAN step's 27ms of XLA layout-flip copies (models/layout_pin.py).
@@ -139,9 +146,11 @@ class Config:
     # (ops/conv_pallas.py): "off" | "on" | "auto" (= on when the backend is
     # a real TPU).  Attacks the conv emitter's layout-flip copies.
     conv_pallas: str = "off"
-    # instance-norm statistics: "reduce" (jnp.sum fusions) or "dot" (MXU
-    # contractions against a ones vector — same f32 sums, different unit;
-    # the GAN profile shows ~7 ms/step of convert_reduce fusions).
+    # instance-norm statistics: "reduce" (f32 jnp.sum fusions), "dot" (MXU
+    # contractions against a ones vector — same f32 sums, measured slower),
+    # or "bf16" (bf16-accumulated sums — NOT identical math; drift bounded
+    # by tests/test_norm_stats.py).  The GAN profile shows ~7 ms/step of
+    # convert_reduce fusions, which these modes attack.
     norm_stats: str = "reduce"
     # fuse the packed pool->space_to_depth level transition so the narrow
     # [B,H',W',C] pooled tensor never materializes (8x lane-padded in HBM).

@@ -50,7 +50,7 @@ class InstanceNorm(nn.Module):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        xf = x.astype(jnp.float32)
+        xf = stats_cast(x)
         mean, var = instance_stats(xf)
         y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
         y = y * scale + bias
@@ -70,7 +70,7 @@ class BatchNorm(nn.Module):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        xf = x.astype(jnp.float32)
+        xf = stats_cast(x)
         mean = jnp.mean(xf, axis=(0, 1, 2), keepdims=True)
         var = jnp.mean(jnp.square(xf), axis=(0, 1, 2), keepdims=True) - jnp.square(mean)
         y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
@@ -98,7 +98,7 @@ class NormAct(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
 
         if self.norm_type != "instance":  # training-mode batch norm
-            xf = x.astype(jnp.float32)
+            xf = stats_cast(x)
             mean = jnp.mean(xf, axis=(0, 1, 2), keepdims=True)
             var = jnp.mean(jnp.square(xf), axis=(0, 1, 2), keepdims=True) \
                 - jnp.square(mean)
@@ -114,35 +114,65 @@ class NormAct(nn.Module):
                       else inp.instance_norm_affine)
                 return fn(x, scale, bias)
 
-        xf = x.astype(jnp.float32)
+        xf = stats_cast(x)
         mean, var = instance_stats(xf)
         y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
         y = y.astype(self.dtype)
         return pin(get_act(self.act_type)(y) if self.act_type else y)
 
 
-_STATS_DOT = False
+_STATS_MODE = "reduce"
+
+
+def set_norm_stats(mode: str) -> None:
+    """Trace-time selector (Config.norm_stats) for how instance-norm
+    statistics are computed:
+
+    * ``"reduce"`` — f32 convert+reduce fusions (XLA's natural lowering);
+    * ``"dot"``    — MXU contractions against a ones vector (same f32 sums;
+      measured SLOWER round 3 — the dot form materializes its operands);
+    * ``"bf16"``   — sums accumulated in bfloat16 (the input's own dtype;
+      VERDICT r2 #6 suggestion).  NOT identical math: a bf16 accumulator
+      quantizes the partial sums — tests/test_norm_stats.py bounds the
+      drift; see BASELINE.md for the measurement.
+    * ``"native"`` — statistics in the activations' own dtype with no f32
+      cast.  Test-only: with float64 activations (jax.enable_x64) every
+      norm is exact, which lets equivalence tests assert BITWISE equality
+      of alternative lowerings (tests/test_paired.py).
+    """
+    global _STATS_MODE
+    assert mode in ("reduce", "dot", "bf16", "native"), mode
+    _STATS_MODE = mode
 
 
 def set_stats_dot(enabled: bool) -> None:
-    """Trace-time toggle (Config.norm_stats='dot'): compute instance-norm
-    statistics as MXU contractions against a ones vector instead of VPU
-    reduce fusions.  Identical math (sum of the same f32 terms); the GAN
-    profile shows ~7 ms/step of convert_reduce fusions at ~60x over
-    bandwidth, which the MXU form attacks."""
-    global _STATS_DOT
-    _STATS_DOT = bool(enabled)
+    """Back-compat shim for :func:`set_norm_stats`."""
+    set_norm_stats("dot" if enabled else "reduce")
 
 
 def stats_dot_enabled() -> bool:
-    return _STATS_DOT
+    return _STATS_MODE == "dot"
+
+
+def stats_cast(x: jax.Array) -> jax.Array:
+    """The mixed-precision upcast in front of every norm: float32 normally,
+    identity under norm_stats='native' (see :func:`set_norm_stats`)."""
+    if _STATS_MODE == "native":
+        return x
+    return x.astype(jnp.float32)
 
 
 def spatial_sums(xf: jax.Array) -> "tuple[jax.Array, jax.Array]":
-    """(sum, sum-of-squares) over (H, W) per (batch, channel): [B,C] each.
-    Reduce- or MXU-dot-based per :func:`set_stats_dot`."""
+    """(sum, sum-of-squares) over (H, W) per (batch, channel): [B,C] f32.
+    Reduce-, MXU-dot- or bf16-accumulated per :func:`set_norm_stats`."""
     b, h, w, c = xf.shape
-    if not _STATS_DOT:
+    if _STATS_MODE == "bf16":
+        # the f32 upcast folds away against this downcast (the activations
+        # arrive bf16); both reduces then run with bf16 accumulators.
+        xb = xf.astype(jnp.bfloat16)
+        return (xb.sum(axis=(1, 2)).astype(jnp.float32),
+                jnp.square(xb).sum(axis=(1, 2)).astype(jnp.float32))
+    if _STATS_MODE != "dot":
         return xf.sum(axis=(1, 2)), jnp.square(xf).sum(axis=(1, 2))
     x2 = xf.reshape(b, h * w, c)
     ones = jnp.ones((h * w,), xf.dtype)

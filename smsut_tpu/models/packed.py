@@ -397,8 +397,9 @@ class PackedNormAct(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
 
         b, h, w, _ = x.shape
-        xf = x.astype(jnp.float32)
-        from smsut_tpu.models.layers import spatial_sums
+        from smsut_tpu.models.layers import spatial_sums, stats_cast
+
+        xf = stats_cast(x)
 
         t1, t2 = spatial_sums(xf)                                       # [B,4C]
         s1 = t1.reshape(b, 4, c).sum(axis=1)                            # [B,C]

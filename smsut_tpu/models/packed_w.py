@@ -177,7 +177,9 @@ def norm_stats_w(x: jax.Array, p: int, c: int):
     assert pc == p * c, (pc, p, c)
     from smsut_tpu.models.layers import spatial_sums
 
-    xf = x.astype(jnp.float32)
+    from smsut_tpu.models.layers import stats_cast
+
+    xf = stats_cast(x)
     t1, t2 = spatial_sums(xf)                                  # [B, p*C]
     s1 = t1.reshape(b, p, c).sum(axis=1)
     s2 = t2.reshape(b, p, c).sum(axis=1)
@@ -321,7 +323,8 @@ class PackedNormActW(nn.Module):
         rstd = jax.lax.rsqrt(var + self.epsilon)
         g = tile_c_w(rstd * scale, p)[:, None, None, :]
         b_ = tile_c_w(bias - mean * rstd * scale, p)[:, None, None, :]
-        y = (x.astype(jnp.float32) * g + b_).astype(self.dtype)
+        from smsut_tpu.models.layers import stats_cast
+        y = (stats_cast(x) * g + b_).astype(self.dtype)
         return get_act(self.act_type)(y) if self.act_type else y
 
 

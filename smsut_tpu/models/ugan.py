@@ -180,6 +180,177 @@ class UGANDecoder(nn.Module):
         return x
 
 
+class _NormParams(nn.Module):
+    """Bare InstanceNorm affine parameters (scale/bias) — mirrors
+    PackedNormAct's parameter paths for the tower-paired forward."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.channels,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.channels,),
+                          jnp.float32)
+        return scale, bias
+
+
+class _BlockParams(nn.Module):
+    """Parameters of a PackedBasicBlock (same child names/shapes/inits, so
+    checkpoints are interchangeable); compute happens in
+    models/paired.py:paired_block."""
+
+    features: int
+    in_segments: Tuple[int, ...]
+    act_type: str = "lrelu"
+
+    @nn.compact
+    def __call__(self) -> dict:
+        from smsut_tpu.models.packed import _Kernel
+
+        cin = sum(self.in_segments)
+        f = self.features
+        init = kaiming_normal_fan_out(self.act_type)
+        p = dict(
+            conv1=_Kernel((3, 3, cin, f), init, name="conv1")(),
+            bn1=_NormParams(f, name="bn1")(),
+            conv2=_Kernel((3, 3, f, f), init, name="conv2")(),
+            bn2=_NormParams(f, name="bn2")(),
+        )
+        if cin != f:
+            p["shortcut1"] = _Kernel((1, 1, cin, f), init, name="shortcut1")()
+            p["shortcut2"] = _NormParams(f, name="shortcut2")()
+        return p
+
+
+class UGANEncoderSplit(nn.Module):
+    """UGANEncoder with its level-0 stage exposed as raw parameters so
+    _UGANCore can run BOTH towers' level 0 as one paired program
+    (models/paired.py).  Parameter paths/shapes/inits are identical to
+    UGANEncoder (hw packed mode), so checkpoints are interchangeable —
+    tests/test_paired.py asserts init equality."""
+
+    width: int
+    cin: int
+    norm_type: str = "instance"
+    act_type: str = "lrelu"
+    dtype: Dtype = jnp.float32
+    pack_levels: int = 1
+
+    def setup(self):
+        from smsut_tpu.models import packed as pk
+        from smsut_tpu.models.packed import _Kernel
+
+        assert self.pack_levels >= 1 and self.norm_type == "instance"
+        w = self.width
+        init = kaiming_normal_fan_out(self.act_type)
+        self.pre_conv = _Kernel((5, 5, self.cin, w // 2), init)
+        self.pre_bn = _NormParams(w // 2)
+        self.enc1 = _BlockParams(w, (w // 2,), self.act_type)
+        for i, mult in list(enumerate((1, 2, 4, 8)))[1:]:
+            prev = (1, 2, 4, 8)[i - 1] * w
+            if i < self.pack_levels:
+                mod = pk.PackedBasicBlock(mult * w, (prev,), self.norm_type,
+                                          self.act_type, self.dtype)
+            else:
+                mod = BasicBlock(mult * w, self.norm_type, self.act_type,
+                                 self.dtype)
+            setattr(self, f"enc{i + 1}", mod)
+
+    def level0(self) -> dict:
+        return dict(pre_conv=self.pre_conv(), pre_bn=self.pre_bn(),
+                    enc1=self.enc1())
+
+    def tail(self, x: jax.Array) -> Tuple[jax.Array, List[jax.Array]]:
+        """Levels 1..3 from the (pooled) level-0 output; returns the
+        bottleneck input and the level-1..3 skips in forward order."""
+        from smsut_tpu.models import packed as pk
+
+        skips = []
+        for i, mult in list(enumerate((1, 2, 4, 8)))[1:]:
+            x = getattr(self, f"enc{i + 1}")(x)
+            skips.append(x)
+            if i < self.pack_levels:
+                x = pk.pool_to_next_level(x, mult * self.width,
+                                          last=(i + 1 >= self.pack_levels))
+            else:
+                x = max_pool2(x)
+        return x, skips
+
+
+class UGANDecoderSplit(nn.Module):
+    """UGANDecoder with the level-1->0 stage staged out for tower pairing
+    (same parameter paths as UGANDecoder, hw packed mode)."""
+
+    out_ch: int
+    width: int = 32
+    norm_type: str = "instance"
+    act_type: str = "lrelu"
+    transposed: bool = True
+    use_tanh: bool = False
+    dtype: Dtype = jnp.float32
+    pack_levels: int = 1
+
+    def setup(self):
+        from smsut_tpu.models import packed as pk
+
+        assert self.pack_levels >= 1
+        w = self.width
+        for i, mult in ((4, 8), (3, 4), (2, 2), (1, 1)):
+            if i <= self.pack_levels:
+                break
+            setattr(self, f"up{i}",
+                    UpSampleAndConcat(mult * w, transposed=self.transposed,
+                                      act_type=self.act_type, dtype=self.dtype))
+            setattr(self, f"dec{i}",
+                    BasicBlock(mult * w, self.norm_type, self.act_type,
+                               self.dtype))
+        up_cls = (pk.PackedUpConcat if self.transposed
+                  else pk.PackedUpBilinearConcat)
+        for lvl in range(self.pack_levels, 1, -1):
+            mult = (1, 2, 4, 8)[lvl - 1]
+            setattr(self, f"up{lvl}", up_cls(mult * w, self.act_type,
+                                             self.dtype))
+            setattr(self, f"dec{lvl}",
+                    pk.PackedBasicBlock(mult * w, (mult * w, mult * w),
+                                        self.norm_type, self.act_type,
+                                        self.dtype))
+        self.up1 = up_cls(w, self.act_type, self.dtype)
+        self.dec1 = _BlockParams(w, (w, w), self.act_type)
+        self.fc = pk.PackedConv(self.out_ch, 1, (w,), self.act_type,
+                                self.dtype, use_bias=True)
+
+    def head(self, x: jax.Array, skips: Sequence[jax.Array]) -> jax.Array:
+        """Upper decoder levels down to the level-1 grid ([B,H/2,W/2,w])."""
+        from smsut_tpu.models import packed as pk
+
+        for i, mult in ((4, 8), (3, 4), (2, 2), (1, 1)):
+            if i <= self.pack_levels:
+                break
+            x = getattr(self, f"up{i}")(x, skips[4 - i])
+            x = getattr(self, f"dec{i}")(x)
+        for lvl in range(self.pack_levels, 1, -1):
+            mult = (1, 2, 4, 8)[lvl - 1]
+            x = getattr(self, f"up{lvl}")(x, skips[4 - lvl])
+            x = getattr(self, f"dec{lvl}")(x)
+            x = pk.depth_to_space(x, mult * self.width)
+        return x
+
+    def up1_apply(self, x: jax.Array, skip_packed: jax.Array) -> jax.Array:
+        return self.up1(x, skip_packed)
+
+    def dec1_params(self) -> dict:
+        return self.dec1()
+
+    def fc_apply(self, y: jax.Array) -> jax.Array:
+        from smsut_tpu.models import packed as pk
+
+        y = self.fc(y)
+        if self.use_tanh:
+            y = jnp.tanh(y)
+        return pk.depth_to_space(y, self.out_ch)
+
+
 def tile_modality_vec(x: jax.Array, m: Optional[jax.Array], n_modal: int) -> jax.Array:
     """Concatenate the per-sample modality vector as constant spatial channels
     (`ugan.py:108-114`)."""
@@ -191,13 +362,18 @@ def tile_modality_vec(x: jax.Array, m: Optional[jax.Array], n_modal: int) -> jax
 
 
 class _UGANCore(nn.Module):
-    """Shared twin-tower body of UGAN / UGANnce (`ugan.py:86-123`)."""
+    """Shared twin-tower body of UGAN / UGANnce (`ugan.py:86-123`).
+
+    ``pair_towers``: run both towers' level-0 stages as ONE paired program
+    (block-diagonal full-lane convs, models/paired.py) — identical math,
+    measured ~28% faster per twin-conv pair on TPU (hw packed mode only)."""
 
     out_ch: int
     n_modal: int
     width: int = 32
     dtype: Dtype = jnp.float32
     pack_levels: int = 0
+    pair_towers: bool = False
 
     @nn.compact
     def __call__(self, x, m):
@@ -208,18 +384,62 @@ class _UGANCore(nn.Module):
 
         enc5 = BasicBlock(16 * self.width, "instance", "lrelu", self.dtype, name="enc5")
 
-        tsl_h, tsl_skips = UGANEncoder(self.width, name="tsl_encoder", **kw)(tsl_in)
-        seg_h, seg_skips = UGANEncoder(self.width, name="seg_encoder", **kw)(x)
+        from smsut_tpu.models import packed_w as pwk
+
+        pair = (self.pair_towers and self.pack_levels >= 1
+                and pwk.pack_mode() == "hw")
+        if pair:
+            from smsut_tpu.models import packed as pk
+            from smsut_tpu.models import paired as pr
+
+            w = self.width
+            tslE = UGANEncoderSplit(w, tsl_in.shape[-1], name="tsl_encoder", **kw)
+            segE = UGANEncoderSplit(w, x.shape[-1], name="seg_encoder", **kw)
+            pa, pb = tslE.level0(), segE.level0()
+            X = jnp.concatenate([pk.space_to_depth(tsl_in),
+                                 pk.space_to_depth(x)], axis=-1)
+            y = pr.paired_conv(X, pa["pre_conv"], pb["pre_conv"],
+                               (tsl_in.shape[-1],), (x.shape[-1],), self.dtype)
+            y = pr.paired_norm_act(y, pa["pre_bn"], pb["pre_bn"], w // 2,
+                                   "lrelu", self.dtype)
+            y = pr.paired_block(y, pa["enc1"], pb["enc1"], (w // 2,), w,
+                                "lrelu", self.dtype)
+            skipA, skipB = pr.split2(y)
+            last = self.pack_levels == 1
+            tsl_h, restA = tslE.tail(pk.pool_to_next_level(skipA, w, last=last))
+            seg_h, restB = segE.tail(pk.pool_to_next_level(skipB, w, last=last))
+            tsl_skips = list(reversed([skipA] + restA))
+            seg_skips = list(reversed([skipB] + restB))
+        else:
+            tsl_h, tsl_skips = UGANEncoder(self.width, name="tsl_encoder", **kw)(tsl_in)
+            seg_h, seg_skips = UGANEncoder(self.width, name="seg_encoder", **kw)(x)
         # ONE batched apply of the shared bottleneck for both towers
         # (`ugan.py:115-118` applies enc5 twice with the same weights);
         # instance norm is per-sample, so this is mathematically identical.
         b = x.shape[0]
         both = enc5(jnp.concatenate([tsl_h, seg_h], axis=0))
         tsl_bottleneck, seg_bottleneck = both[:b], both[b:]
-        tsl = UGANDecoder(1, self.width, transposed=False, use_tanh=True,
-                          name="tsl_decoder", **kw)(tsl_bottleneck, tsl_skips)
-        seg = UGANDecoder(self.out_ch, self.width, transposed=True, use_tanh=False,
-                          name="seg_decoder", **kw)(seg_bottleneck, seg_skips)
+        if pair:
+            tslD = UGANDecoderSplit(1, self.width, transposed=False,
+                                    use_tanh=True, name="tsl_decoder", **kw)
+            segD = UGANDecoderSplit(self.out_ch, self.width, transposed=True,
+                                    use_tanh=False, name="seg_decoder", **kw)
+            da = tslD.head(tsl_bottleneck, tsl_skips)
+            db = segD.head(seg_bottleneck, seg_skips)
+            ua = tslD.up1_apply(da, tsl_skips[3])
+            ub = segD.up1_apply(db, seg_skips[3])
+            yd = pr.paired_block(jnp.concatenate([ua, ub], axis=-1),
+                                 tslD.dec1_params(), segD.dec1_params(),
+                                 (self.width, self.width), self.width,
+                                 "lrelu", self.dtype)
+            ya, yb = pr.split2(yd)
+            tsl = tslD.fc_apply(ya)
+            seg = segD.fc_apply(yb)
+        else:
+            tsl = UGANDecoder(1, self.width, transposed=False, use_tanh=True,
+                              name="tsl_decoder", **kw)(tsl_bottleneck, tsl_skips)
+            seg = UGANDecoder(self.out_ch, self.width, transposed=True, use_tanh=False,
+                              name="seg_decoder", **kw)(seg_bottleneck, seg_skips)
         return seg.astype(jnp.float32), tsl.astype(jnp.float32), tsl_bottleneck
 
 
@@ -231,11 +451,13 @@ class UGAN(nn.Module):
     width: int = 32
     dtype: Dtype = jnp.float32
     pack_levels: int = 0
+    pair_towers: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, m: Optional[jax.Array] = None):
         seg, tsl, _ = _UGANCore(self.out_ch, self.n_modal, self.width, self.dtype,
-                                pack_levels=self.pack_levels, name="core")(x, m)
+                                pack_levels=self.pack_levels,
+                                pair_towers=self.pair_towers, name="core")(x, m)
         return seg, tsl
 
 
@@ -278,12 +500,14 @@ class UGANnce(nn.Module):
     netF_nc: int = 256
     dtype: Dtype = jnp.float32
     pack_levels: int = 0
+    pair_towers: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, m: Optional[jax.Array] = None,
                  patch_ids: Optional[jax.Array] = None, val_phase: bool = False):
         seg, tsl, tsl_bottleneck = _UGANCore(self.out_ch, self.n_modal, self.width,
                                              self.dtype, pack_levels=self.pack_levels,
+                                             pair_towers=self.pair_towers,
                                              name="core")(x, m)
         if val_phase:
             return seg, tsl

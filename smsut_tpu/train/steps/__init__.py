@@ -3,14 +3,14 @@ import jax
 import jax.numpy as jnp
 
 from smsut_tpu.config import Config
-from smsut_tpu.models.layers import set_fused_norm, set_stats_dot
+from smsut_tpu.models.layers import set_fused_norm, set_norm_stats
 
 
 def setup_compute(cfg: Config):
     """Shared algorithm setup: resolve the activation dtype and arm the fused
     Pallas norm path / fused pool transition when requested."""
     set_fused_norm(cfg.use_pallas)
-    set_stats_dot(getattr(cfg, "norm_stats", "reduce") == "dot")
+    set_norm_stats(getattr(cfg, "norm_stats", "reduce"))
     from smsut_tpu.models import packed as pk
 
     ppf = getattr(cfg, "pool_pack_fused", None)

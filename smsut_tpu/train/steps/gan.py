@@ -76,14 +76,24 @@ class UGANBase:
         dtype = setup_compute(cfg)
         self.dtype = dtype
         self.with_nce = self.variant in ("uganShp0", "uganConsis")
+        pair = getattr(cfg, "pair_towers", None)
+        if pair is None:
+            # auto: on where the paired lowering applies AND measured faster
+            # (same-day A/B, BASELINE.md round 3: ugan 38.5->36.7 ms,
+            # uganConsis 78.5->76.3; uganShp0 REGRESSES 30.0->32.0 — its
+            # NCE-heavy G step fuses differently)
+            pair = (cfg.pack_levels >= 1 and cfg.pack_mode == "hw"
+                    and self.variant != "uganShp0")
         if self.with_nce:
             self.net = UGANnce(out_ch=cfg.n_class, n_modal=cfg.n_modal,
                                width=cfg.base_width, netF_nc=cfg.netF_nc,
-                               dtype=dtype, pack_levels=cfg.pack_levels)
+                               dtype=dtype, pack_levels=cfg.pack_levels,
+                               pair_towers=bool(pair))
         else:
             self.net = UGAN(out_ch=cfg.n_class, n_modal=cfg.n_modal,
                             width=cfg.base_width, dtype=dtype,
-                            pack_levels=cfg.pack_levels)
+                            pack_levels=cfg.pack_levels,
+                            pair_towers=bool(pair))
         self.D = Discriminator(input_size=cfg.input_size, n_modal=cfg.n_modal,
                                width=cfg.base_width,
                                max_width=256 if cfg.base_width == 16 else 512,

@@ -60,6 +60,30 @@ def test_norm_stats_w_matches(rng):
                                    rtol=1e-5, atol=1e-4)
 
 
+def _with_bf16(fn):
+    layers.set_norm_stats("bf16")
+    try:
+        return fn()
+    finally:
+        layers.set_norm_stats("reduce")
+
+
+def test_bf16_stats_drift_bounded(rng):
+    """norm_stats='bf16' is NOT identical math — bound the normalized-output
+    drift at the model's hot shape so the knob stays a safe experiment
+    (unit-scale activations, 128^2 spatial: the worst accumulator load)."""
+    x = jnp.asarray(
+        rng.normal(size=(2, 128, 128, 8)).astype(np.float32), jnp.bfloat16)
+    mod = layers.NormAct("instance", "lrelu", jnp.bfloat16)
+    params = mod.init(jax.random.PRNGKey(0), x)
+    y0 = np.asarray(mod.apply(params, x), np.float32)
+    y1 = np.asarray(_with_bf16(lambda: mod.apply(params, x)), np.float32)
+    # one bf16 ulp of a unit-variance normalized output is ~2^-8; allow a
+    # few ulps of statistics drift on top.
+    assert np.max(np.abs(y1 - y0)) < 0.05, np.max(np.abs(y1 - y0))
+    assert np.sqrt(np.mean(np.square(y1 - y0))) < 0.01
+
+
 def test_gradients_match(rng):
     """The dot-based stats produce the same gradients (the norm backward
     flows through the statistics)."""
