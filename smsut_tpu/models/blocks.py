@@ -192,6 +192,129 @@ class Encoder(nn.Module):
         return x, skips
 
 
+class EncoderSplit(nn.Module):
+    """Encoder with its level-0 stage exposed as raw parameters so two nets
+    can run level 0 as ONE tower-paired program (models/paired.py — see
+    UGANEncoderSplit for the design).  Parameter paths/shapes/inits are
+    identical to Encoder (hw packed mode, instance norm)."""
+
+    width: int
+    cin: int
+    norm_type: str = "instance"
+    act_type: str = "lrelu"
+    dtype: Dtype = jnp.float32
+    pack_levels: int = 1
+
+    def setup(self):
+        from smsut_tpu.models import packed as pk
+        from smsut_tpu.models.packed import _Kernel
+        from smsut_tpu.models.ugan import _BlockParams, _NormParams
+
+        assert self.pack_levels >= 1 and self.norm_type == "instance"
+        w = self.width
+        init = kaiming_normal_fan_out(self.act_type)
+        self.pre_conv = _Kernel((5, 5, self.cin, w // 2), init)
+        self.pre_bn = _NormParams(w // 2)
+        self.layer1 = _BlockParams(w, (w // 2,), self.act_type)
+        for i, mult in list(enumerate((1, 2, 4, 8)))[1:]:
+            prev = (1, 2, 4, 8)[i - 1] * w
+            if i < self.pack_levels:
+                mod = pk.PackedBasicBlock(mult * w, (prev,), self.norm_type,
+                                          self.act_type, self.dtype)
+            else:
+                mod = BasicBlock(mult * w, self.norm_type, self.act_type,
+                                 self.dtype)
+            setattr(self, f"layer{i + 1}", mod)
+        self.layer5 = BasicBlock(16 * w, self.norm_type, self.act_type,
+                                 self.dtype)
+
+    def level0(self) -> dict:
+        return dict(pre_conv=self.pre_conv(), pre_bn=self.pre_bn(),
+                    enc1=self.layer1())
+
+    def tail(self, x: jax.Array):
+        """Levels 1..3 + the layer5 bottleneck from the pooled level-0
+        output; returns (bottleneck, skips[level 1..3] in forward order)."""
+        from smsut_tpu.models import packed as pk
+
+        skips = []
+        for i, mult in list(enumerate((1, 2, 4, 8)))[1:]:
+            x = getattr(self, f"layer{i + 1}")(x)
+            skips.append(x)
+            if i < self.pack_levels:
+                x = pk.pool_to_next_level(x, mult * self.width,
+                                          last=(i + 1 >= self.pack_levels))
+            else:
+                x = max_pool2(x)
+        return self.layer5(x), skips
+
+
+class DecoderSplit(nn.Module):
+    """Decoder with the level-1->0 stage staged out for tower pairing
+    (same parameter paths as Decoder, hw packed mode)."""
+
+    out_ch: int
+    width: int = 32
+    norm_type: str = "instance"
+    act_type: str = "lrelu"
+    dtype: Dtype = jnp.float32
+    pack_levels: int = 1
+
+    def setup(self):
+        from smsut_tpu.models import packed as pk
+        from smsut_tpu.models.ugan import _BlockParams
+
+        assert self.pack_levels >= 1
+        w = self.width
+        for i, mult in ((4, 8), (3, 4), (2, 2), (1, 1)):
+            if i <= self.pack_levels:
+                break
+            setattr(self, f"up{i}",
+                    UpSampleAndConcat(mult * w, transposed=True,
+                                      act_type=self.act_type, dtype=self.dtype))
+            setattr(self, f"layer{i}",
+                    BasicBlock(mult * w, self.norm_type, self.act_type,
+                               self.dtype))
+        for lvl in range(self.pack_levels, 1, -1):
+            mult = (1, 2, 4, 8)[lvl - 1]
+            setattr(self, f"up{lvl}",
+                    pk.PackedUpConcat(mult * w, self.act_type, self.dtype))
+            setattr(self, f"layer{lvl}",
+                    pk.PackedBasicBlock(mult * w, (mult * w, mult * w),
+                                        self.norm_type, self.act_type,
+                                        self.dtype))
+        self.up1 = pk.PackedUpConcat(w, self.act_type, self.dtype)
+        self.layer1 = _BlockParams(w, (w, w), self.act_type)
+        self.fc = pk.PackedConv(self.out_ch, 1, (w,), self.act_type,
+                                self.dtype)
+
+    def head(self, x: jax.Array, skips) -> jax.Array:
+        from smsut_tpu.models import packed as pk
+
+        for i, mult in ((4, 8), (3, 4), (2, 2), (1, 1)):
+            if i <= self.pack_levels:
+                break
+            x = getattr(self, f"up{i}")(x, skips[i - 1])
+            x = getattr(self, f"layer{i}")(x)
+        for lvl in range(self.pack_levels, 1, -1):
+            mult = (1, 2, 4, 8)[lvl - 1]
+            x = getattr(self, f"up{lvl}")(x, skips[lvl - 1])
+            x = getattr(self, f"layer{lvl}")(x)
+            x = pk.depth_to_space(x, mult * self.width)
+        return x
+
+    def up1_apply(self, x: jax.Array, skip_packed: jax.Array) -> jax.Array:
+        return self.up1(x, skip_packed)
+
+    def dec1_params(self) -> dict:
+        return self.layer1()
+
+    def fc_apply(self, y: jax.Array) -> jax.Array:
+        from smsut_tpu.models import packed as pk
+
+        return pk.depth_to_space(self.fc(y), self.out_ch)
+
+
 class Decoder(nn.Module):
     """4-level decoder with transposed-conv up+concat and a 1x1 head
     (`network/blocks.py:155-174`).

@@ -37,6 +37,20 @@ class CrossPseudo:
         self.net = UNet(out_ch=cfg.n_class, width=cfg.base_width,
                         norm_type="instance", act_type="lrelu", dtype=dtype,
                         pack_levels=cfg.pack_levels)
+        # both nets see the SAME image stack every iteration -> run their
+        # level-0 stages tower-paired (models/paired.py; equivalence in
+        # tests/test_paired_unet.py).  Auto default follows the measured A/B
+        # in BASELINE.md.
+        pair = getattr(cfg, "pair_towers", None)
+        if pair is None:
+            pair = cfg.pack_levels >= 1 and cfg.pack_mode == "hw"
+        self._pair = bool(pair) and cfg.pack_levels >= 1 and cfg.pack_mode == "hw"
+        if self._pair:
+            from smsut_tpu.models.unet import UNetPair
+
+            self.net_pair = UNetPair(out_ch=cfg.n_class, width=cfg.base_width,
+                                     norm_type="instance", act_type="lrelu",
+                                     dtype=dtype, pack_levels=cfg.pack_levels)
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
 
     def init_state(self, rng: jax.Array) -> TrainState:
@@ -56,8 +70,12 @@ class CrossPseudo:
         lam = scalars["lambda_semi"]
 
         def joint_loss(p1, p2):
-            out1 = self.net.apply({"params": p1}, img)
-            out2 = self.net.apply({"params": p2}, img)
+            if self._pair:
+                out1, out2 = self.net_pair.apply(
+                    {"params": {"n1": p1, "n2": p2}}, img)
+            else:
+                out1 = self.net.apply({"params": p1}, img)
+                out2 = self.net.apply({"params": p2}, img)
             sup1 = dice_and_ce_loss(out1[:bs], batch["msk"], cfg.weight_dc,
                                     cfg.weight_ce, batch_dice=True)
             sup2 = dice_and_ce_loss(out2[:bs], batch["msk"], cfg.weight_dc,
