@@ -148,10 +148,15 @@ class Config:
     conv_pallas: str = "off"
     # instance-norm statistics: "reduce" (f32 jnp.sum fusions), "dot" (MXU
     # contractions against a ones vector — same f32 sums, measured slower),
-    # or "bf16" (bf16-accumulated sums — NOT identical math; drift bounded
-    # by tests/test_norm_stats.py).  The GAN profile shows ~7 ms/step of
-    # convert_reduce fusions, which these modes attack.
-    norm_stats: str = "reduce"
+    # or "bf16" (bf16-accumulated sums — drift bounded by
+    # tests/test_norm_stats.py).  The GAN profile shows ~7 ms/step of
+    # convert_reduce fusions, which these modes attack.  "auto" (default) =
+    # accumulate in the compute dtype: bf16 sums under the bf16 default
+    # (uganConsis 76.3->74.5 ms, unet -3%; BASELINE.md round 3), f32 sums
+    # whenever compute_dtype=float32 — so the strict-parity switch
+    # (--set compute_dtype=float32) still restores reference-identical
+    # math end-to-end.  --set norm_stats=reduce isolates the stats alone.
+    norm_stats: str = "auto"
     # fuse the packed pool->space_to_depth level transition so the narrow
     # [B,H',W',C] pooled tensor never materializes (8x lane-padded in HBM).
     # Measured: wins at batch>=32 (supervised 36.6->35.4 ms), loses at the

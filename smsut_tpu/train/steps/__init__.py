@@ -10,7 +10,10 @@ def setup_compute(cfg: Config):
     """Shared algorithm setup: resolve the activation dtype and arm the fused
     Pallas norm path / fused pool transition when requested."""
     set_fused_norm(cfg.use_pallas)
-    set_norm_stats(getattr(cfg, "norm_stats", "reduce"))
+    mode = getattr(cfg, "norm_stats", "auto")
+    if mode == "auto":   # stats accumulate in the compute dtype (config.py)
+        mode = "bf16" if cfg.compute_dtype == "bfloat16" else "reduce"
+    set_norm_stats(mode)
     from smsut_tpu.models import packed as pk
 
     ppf = getattr(cfg, "pool_pack_fused", None)

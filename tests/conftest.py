@@ -32,3 +32,15 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(2020)
+
+
+@pytest.fixture(autouse=True)
+def _reset_norm_stats():
+    """setup_compute() resolves Config.norm_stats='auto' per-algorithm and
+    sets a module global; reset it so a bf16-stats algo in one test can't
+    leak quantized statistics into a later torch-parity test."""
+    from smsut_tpu.models import layers
+
+    layers.set_norm_stats("reduce")
+    yield
+    layers.set_norm_stats("reduce")
