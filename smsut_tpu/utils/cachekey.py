@@ -24,11 +24,25 @@ def machine_tag() -> str:
     except Exception:  # pragma: no cover
         ver = "nojax"
     try:
+        # the ENTIRE first-processor block, not just the flags line: two
+        # hosts with identical flag sets but different model/stepping get
+        # different LLVM tuning (e.g. +prefer-no-scatter), which changes
+        # codegen — and with it f32 reduction order — so a flags-only key
+        # still served cross-host blobs (seen round 3: a migrated VM's
+        # /tmp cache drifted test_two_process_training by 1.6e-4).
+        keep = ("vendor_id", "cpu family", "model", "model name",
+                "stepping", "microcode", "flags")
         with open("/proc/cpuinfo") as f:
-            flags = next((l for l in f if l.startswith("flags")), "")
+            block = []
+            for line in f:
+                if not line.strip():
+                    break   # first processor only
+                if line.split(":")[0].strip() in keep:  # skip cpu MHz etc.
+                    block.append(line)
+            cpu = "".join(block)
     except OSError:  # pragma: no cover - non-Linux
-        flags = platform.processor()
-    return hashlib.sha1(f"{ver}|{flags}".encode()).hexdigest()[:8]
+        cpu = platform.processor()
+    return hashlib.sha1(f"{ver}|{cpu}".encode()).hexdigest()[:8]
 
 
 def cache_dir(base: str) -> str:

@@ -173,7 +173,11 @@ def main(n_steps: int = 3, global_batch: int = 8) -> None:
 
 def main_step(n_steps: int = 3, global_batch: int = 8) -> None:
     assert jax.device_count() == 8 and jax.local_device_count() == 4
-    cfg = Config(input_size=64, base_width=4, batch_size=global_batch)
+    # norm_stats pinned: the 1e-4 cross-arrangement tolerance in
+    # test_distributed was calibrated with f32 statistics; bf16-stat
+    # quantization amplifies the all-reduce-grouping drift past it.
+    cfg = Config(input_size=64, base_width=4, batch_size=global_batch,
+                 norm_stats="reduce")
     algo = SupervisedUNet(cfg)
     mesh = make_mesh(batch_size=global_batch)
     assert mesh.devices.size == 8, mesh

@@ -84,7 +84,8 @@ def _single_process_reference(n_steps: int = 3, global_batch: int = 8):
     from smsut_tpu.parallel.mesh import make_mesh, replicate, shard_batch
     from smsut_tpu.train.steps.supervised import SupervisedUNet
 
-    cfg = Config(input_size=64, base_width=4, batch_size=global_batch)
+    cfg = Config(input_size=64, base_width=4, batch_size=global_batch,
+                 norm_stats="reduce")   # match distributed_worker.main_step
     algo = SupervisedUNet(cfg)
     mesh = make_mesh(batch_size=global_batch)
     state = replicate(mesh, algo.init_state(jax.random.PRNGKey(0)))
