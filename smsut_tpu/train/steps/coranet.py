@@ -276,6 +276,13 @@ class CoraNet:
         tnon, tbg = self._head_probs(e_t, z_t)               # teacher probs
 
         def loss_fn(params):
+            # Kept as TWO bs-sized student applies on purpose: batching
+            # labeled+pseudo into one 2bs apply is mathematically identical
+            # (per-sample instance norm; tests/test_coranet.py
+            # ::test_stage_b_batched_apply_matches_separate) but MEASURED
+            # SLOWER — 24.9 vs 20.2 ms/step same-day — the 16-image apply
+            # spills the VMEM working set that two 8-image applies each fit
+            # (BASELINE.md round-3 batch-scaling root cause).
             cedc, con, rad = self._supervised_3head(params, batch["img"],
                                                     batch["msk"])
             supervised = (cedc + con + rad) / 4.0

@@ -114,6 +114,27 @@ def test_cora_step_gating(rng):
     assert np.isfinite(float(m["loss"]))
 
 
+def test_stage_b_batched_apply_matches_separate(rng):
+    """Batch-independence invariant: one concat apply equals two separate
+    applies (per-sample instance norm).  The stage-B step deliberately
+    keeps the two separate applies — the batched form measured SLOWER
+    (24.9 vs 20.2 ms/step, VMEM spill; see steps/coranet.py loss_fn and
+    BASELINE.md) — but the equivalence is what makes that a pure
+    performance choice."""
+    algo = CoraNet(CFG, stage="cora")
+    state = algo.init_state(jax.random.PRNGKey(3))
+    img = jnp.asarray(rng.normal(size=(2, 32, 32, 1)).astype(np.float32))
+    pse = jnp.asarray(rng.normal(size=(2, 32, 32, 1)).astype(np.float32))
+    out1 = algo.net.apply({"params": state.params}, img)
+    out2 = algo.net.apply({"params": state.params}, pse)
+    cat = algo.net.apply({"params": state.params},
+                         jnp.concatenate([img, pse], axis=0))
+    np.testing.assert_allclose(np.asarray(cat[:2]), np.asarray(out1),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(cat[2:]), np.asarray(out2),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_pred_unlabel_batching(rng):
     algo = CoraNet(CFG, stage="cora")
     state = algo.init_state(jax.random.PRNGKey(0))
