@@ -29,6 +29,7 @@ models/packed.py.
 """
 from __future__ import annotations
 
+import os as _os
 from typing import Any, Optional, Sequence, Tuple
 
 import jax
@@ -38,6 +39,19 @@ from smsut_tpu.models.layers import get_act
 from smsut_tpu.models.packed import pack_kernel
 
 Dtype = Any
+
+# Weight-gradient lowering for the paired conv: "dense" (default) is plain
+# autodiff through the block-diagonal kernel.  "block" computes the two
+# diagonal dw blocks directly via a custom VJP — half the dw MACs, since
+# the dense [k,k,2C,2C'] dw's off-diagonal half is discarded by
+# blockdiag2's VJP — but it MEASURED SLOWER end-to-end (uganConsis
+# 74.5 -> 83.6, ugan 36.5 -> 41.0 ms/step): the per-block dw convs'
+# lane-sliced operands reintroduce the layout copies pairing exists to
+# avoid, the same verdict as every reduced-zero lowering (BASELINE.md).
+# Kept as a tested alternative (tests/test_paired.py
+# ::test_blockdw_matches_dense_dw; f64 end-to-end equivalence passes under
+# either).
+DW_IMPL = _os.environ.get("SMSUT_PAIRED_DW", "dense")
 
 
 def blockdiag2(wa: jax.Array, wb: jax.Array) -> jax.Array:
@@ -51,19 +65,58 @@ def blockdiag2(wa: jax.Array, wb: jax.Array) -> jax.Array:
     return jnp.concatenate([top, bot], axis=2)
 
 
-def paired_conv(x: jax.Array, wa: jax.Array, wb: jax.Array,
-                segs_a: Sequence[int], segs_b: Sequence[int],
-                dtype: Dtype) -> jax.Array:
-    """One dense conv == tower A's packed conv on x[..., :4*sum(segs_a)]
-    stacked with tower B's on the rest.  ``wa``/``wb`` are the ORIGINAL
-    [k,k,Cin,Cout] parameters (packed on the fly, like PackedConv)."""
-    wp = blockdiag2(pack_kernel(wa, tuple(segs_a)),
-                    pack_kernel(wb, tuple(segs_b))).astype(dtype)
+def _bd_conv(x: jax.Array, wp: jax.Array) -> jax.Array:
     kp = wp.shape[0]
     pad = [(kp // 2, kp // 2)] * 2 if kp > 1 else [(0, 0)] * 2
     return jax.lax.conv_general_dilated(
-        x.astype(dtype), wp, (1, 1), pad,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        x, wp, (1, 1), pad, dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+@jax.custom_vjp
+def _paired_conv_blockdw(x: jax.Array, wpa: jax.Array,
+                         wpb: jax.Array) -> jax.Array:
+    return _bd_conv(x, blockdiag2(wpa, wpb))
+
+
+def _pcb_fwd(x, wpa, wpb):
+    return _paired_conv_blockdw(x, wpa, wpb), (x, wpa, wpb)
+
+
+def _pcb_bwd(res, dout):
+    x, wpa, wpb = res
+    ca, oa = wpa.shape[2], wpa.shape[3]
+    # dx keeps the dense block-diagonal transposed conv — full lanes, the
+    # zero-MAC trade that makes pairing win (same program autodiff emits).
+    _, vjp_x = jax.vjp(lambda x_: _bd_conv(x_, blockdiag2(wpa, wpb)), x)
+    dx, = vjp_x(dout)
+    # dw per diagonal block: conv(x_A, dout_A) / conv(x_B, dout_B) — the
+    # exact operands and shapes of the UNPAIRED towers' dw convs (the 128-
+    # boundary lane slices are tile-aligned).  Halves dw MACs vs the dense
+    # [k,k,2C,2C'] dw whose off-diagonal half blockdiag2's VJP discards.
+    _, vjp_wa = jax.vjp(lambda w_: _bd_conv(x[..., :ca], w_), wpa)
+    dwa, = vjp_wa(dout[..., :oa])
+    _, vjp_wb = jax.vjp(lambda w_: _bd_conv(x[..., ca:], w_), wpb)
+    dwb, = vjp_wb(dout[..., oa:])
+    return dx, dwa, dwb
+
+
+_paired_conv_blockdw.defvjp(_pcb_fwd, _pcb_bwd)
+
+
+def paired_conv(x: jax.Array, wa: jax.Array, wb: jax.Array,
+                segs_a: Sequence[int], segs_b: Sequence[int],
+                dtype: Dtype, dw: Optional[str] = None) -> jax.Array:
+    """One dense conv == tower A's packed conv on x[..., :4*sum(segs_a)]
+    stacked with tower B's on the rest.  ``wa``/``wb`` are the ORIGINAL
+    [k,k,Cin,Cout] parameters (packed on the fly, like PackedConv).
+    ``dw`` selects the weight-gradient lowering (default: SMSUT_PAIRED_DW
+    env, "dense")."""
+    wpa = pack_kernel(wa, tuple(segs_a)).astype(dtype)
+    wpb = pack_kernel(wb, tuple(segs_b)).astype(dtype)
+    x = x.astype(dtype)
+    if (dw or DW_IMPL) == "block":
+        return _paired_conv_blockdw(x, wpa, wpb)
+    return _bd_conv(x, blockdiag2(wpa, wpb))
 
 
 NormP = Tuple[jax.Array, jax.Array]          # (scale, bias), each [C] f32

@@ -99,6 +99,35 @@ def test_exact_equivalence_f64():
         layers.set_norm_stats("reduce")
 
 
+@pytest.mark.parametrize("k,segs", [(3, (4,)), (1, (4,)), (3, (4, 8))])
+def test_blockdw_matches_dense_dw(rng, k, segs):
+    """paired_conv's custom VJP (dw='block': per-diagonal-block weight
+    grads) == plain autodiff through the block-diagonal kernel
+    (dw='dense'), for both kernel sizes and segmented inputs."""
+    from smsut_tpu.models.paired import paired_conv
+
+    cin, cout = sum(segs), 8
+    wa = jnp.asarray(rng.normal(size=(k, k, cin, cout)).astype(np.float32))
+    wb = jnp.asarray(rng.normal(size=(k, k, cin, cout)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 8 * cin)).astype(np.float32))
+
+    def loss(impl):
+        def f(args):
+            xx, a, b = args
+            y = paired_conv(xx, a, b, segs, segs, jnp.float32, dw=impl)
+            return jnp.sum(y * y)
+        return f
+
+    y0 = paired_conv(x, wa, wb, segs, segs, jnp.float32, dw="dense")
+    y1 = paired_conv(x, wa, wb, segs, segs, jnp.float32, dw="block")
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y0))
+    g0 = jax.grad(loss("dense"))((x, wa, wb))
+    g1 = jax.grad(loss("block"))((x, wa, wb))
+    for v0, v1 in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v0),
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_nce_bottleneck_identical(rng):
     base, paired = _models(2, nce=True)
     x = jnp.asarray(rng.normal(size=(2, 64, 64, 1)).astype(np.float32))
