@@ -95,7 +95,7 @@ class ShardedBatchSampler:
             # shards == reference stream" contract (ADVICE r2) — fail loud
             assert len(idxs) % self.num_shards == 0, (
                 f"global batch of {len(idxs)} not divisible by "
-                f"{self.num_shards} processes; pick batch_size %% "
+                f"{self.num_shards} processes; pick batch_size % "
                 f"process_count == 0")
             per = len(idxs) // self.num_shards
             yield idxs[self.shard_id * per: (self.shard_id + 1) * per]

@@ -16,9 +16,21 @@ def poly_lr_schedule(base_lr: float, total_iters: int, power: float = 0.9):
 
     def schedule(count):
         eff = jnp.maximum(count - 1, 0).astype(jnp.float32)
-        return base_lr * (1.0 - eff / total_iters) ** power
+        # clamp at 0 past total_iters: a negative base to a fractional
+        # power is NaN, which would silently poison the weights if a run
+        # ever outlives its schedule (reference runs end exactly at total)
+        base = jnp.maximum(1.0 - eff / total_iters, 0.0)
+        return base_lr * base ** power
 
     return schedule
+
+
+def poly_lr_host(base_lr: float, step: int, total_iters: int,
+                 power: float = 0.9) -> float:
+    """Host-side mirror of `poly_lr_schedule` for logging (same clamp —
+    in Python a negative base ** 0.9 is a *complex* number)."""
+    eff = max(int(step) - 1, 0)
+    return float(base_lr * max(1.0 - eff / total_iters, 0.0) ** power)
 
 
 def sigmoid_rampup(current: float, rampup_length: float) -> float:

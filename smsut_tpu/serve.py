@@ -41,11 +41,16 @@ def _seg_logits_fn(algo) -> Callable:
 
 
 def export_eval(algo, params: Any, cfg, out_dir: str,
-                batch_size: int = 0) -> str:
+                batch_size: int = 0,
+                platforms: Tuple[str, ...] = ("cpu", "tpu")) -> str:
     """Serialize the eval function with ``params`` baked in as constants.
 
     Returns the artifact path.  ``batch_size`` defaults to cfg.batch_size
     (static shapes — TPU-friendly; export once per serving batch size).
+    ``platforms`` makes the artifact multi-platform (default cpu+tpu) so a
+    model exported on the TPU training host still loads on a CPU serving
+    box — ``jax.export`` otherwise pins the artifact to the lowering
+    backend and ``exp.call`` refuses to run anywhere else.
     """
     from jax import export as jexport
 
@@ -57,7 +62,7 @@ def export_eval(algo, params: Any, cfg, out_dir: str,
     def serve(img):
         return fn(params, img)
 
-    exp = jexport.export(jax.jit(serve))(
+    exp = jexport.export(jax.jit(serve), platforms=list(platforms))(
         jax.ShapeDtypeStruct((bs, hw, hw, cfg.img_channels), jnp.float32))
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, ARTIFACT)
@@ -75,6 +80,7 @@ def export_eval(algo, params: Any, cfg, out_dir: str,
             "n_class": cfg.n_class,
             "modalities": list(cfg.mod_type),
             "algo": type(algo).__name__,
+            "platforms": list(platforms),
         }, f, indent=2)
     return path
 

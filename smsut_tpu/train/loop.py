@@ -22,6 +22,7 @@ from smsut_tpu.config import Config, Modality
 from smsut_tpu.data.dataset import Batch, BatchLoader, get_label_npys, get_loader
 from smsut_tpu.ops.losses import dice_and_ce_loss
 from smsut_tpu.ops.metrics import get_all_matrix, get_mo_matrix, matrix_to_csv
+from smsut_tpu.ops.schedules import poly_lr_host
 from smsut_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from smsut_tpu.train import checkpoints
 from smsut_tpu.train.experiment import Experiment
@@ -313,8 +314,14 @@ class Trainer:
             self.epoch += 1
             train_meter.update_cur()
 
-            lr = float(cfg.lr * (1.0 - max(int(self.state.step) - 1, 0)
-                                 / cfg.total_iters) ** 0.9)
+            # logged LR comes from the algo when its schedule differs from
+            # the default poly (CoraNet: constant in stage A, poly over
+            # cora_epoch in stage B); poly_lr_host clamps past-end steps
+            if hasattr(self.algo, "lr_at"):
+                lr = self.algo.lr_at(int(self.state.step))
+            else:
+                lr = poly_lr_host(cfg.lr, int(self.state.step),
+                                  cfg.total_iters)
             self.info("")
             self.info(f"lr: {lr}.")
             self.info("[TRN] Epoch: %d(%d)/%d, elapsed: %.2fs," %
@@ -578,9 +585,11 @@ class Trainer:
         [N,B,H,W], per-row validity mask [N,B] and host metadata.  The test
         sweep never changes across epochs, so the arrays live on device for
         the whole run (uint8: the reference-scale test set is ~100MB)."""
-        key = id(loader)
+        # key by the loader OBJECT (a held reference, not id()): a freed
+        # loader's id can be reused by a new one, which would silently
+        # serve a stale stacked test set
         cached = getattr(self, "_eval_cache", None)
-        if cached is not None and cached[0] == key:
+        if cached is not None and cached[0] is loader:
             return cached[1]
         B = self.cfg.batch_size
         ds = loader.dataset
@@ -611,7 +620,7 @@ class Trainer:
             valid.append(v)
             metas.append((b, mdl0, names))
         stack = (np.stack(imgs), np.stack(msks), np.stack(valid))
-        self._eval_cache = (key, (stack, metas))
+        self._eval_cache = (loader, (stack, metas))
         return stack, metas
 
     @staticmethod
@@ -668,7 +677,7 @@ class Trainer:
                 self._eval_scan_c = jax.jit(
                     self._eval_scan_fn(self._eval_step_impl))
             dev = self._eval_dev
-            if dev is None or dev[0] != id(loader):
+            if dev is None or dev[0] is not loader:
                 if self.mesh is not None:
                     from smsut_tpu.parallel.mesh import batch_sharding
 
@@ -677,7 +686,7 @@ class Trainer:
                             x, batch_sharding(self.mesh, 1, np.ndim(x)))
                 else:
                     put = jax.device_put
-                dev = (id(loader), (put(imgs), put(msks), put(valid)))
+                dev = (loader, (put(imgs), put(msks), put(valid)))
                 self._eval_dev = dev
             losses, preds = self._eval_scan_c(params, *dev[1])
             losses = np.asarray(losses)

@@ -199,6 +199,18 @@ class CoraNet:
     def max_epoch(self) -> int:
         return self.cfg.pre_epoch if self.stage == "pre" else self.cfg.cora_epoch
 
+    def lr_at(self, step: int) -> float:
+        """Logged LR matching make_tx's actual schedule (the generic poly
+        over cfg.total_iters neither stage uses — and it crashes/NaNs past
+        max_epoch*num_iter_per_epoch, which pre_epoch > max_epoch exceeds)."""
+        cfg = self.cfg
+        if self.stage == "pre":
+            return cfg.lr
+        from smsut_tpu.ops.schedules import poly_lr_host
+
+        return poly_lr_host(cfg.lr, step,
+                            cfg.cora_epoch * cfg.num_iter_per_epoch)
+
     def make_tx(self):
         cfg = self.cfg
         if self.stage == "pre":
@@ -428,7 +440,12 @@ class CoraNet:
         """Augmented unlabeled sample stream, one full inTurn bs=1 pass
         (`coraNetTrainer.py:609` uses batch_size=1 with data_aug).  With
         device_augment the warp runs on-device (the host chain costs
-        ~7ms/slice on this 1-CPU box)."""
+        ~7ms/slice on this 1-CPU box).
+
+        Multi-host: the stream is GLOBAL (num_shards=1) — every host walks
+        the identical bs=1 pass so ``self._pseudo`` is the same array on
+        every process, which is the premise of ``make_extra_batch``'s
+        per-host slicing of the shared shuffled index list."""
         from smsut_tpu.data.dataset import get_loader
 
         cfg = self.cfg
@@ -438,14 +455,15 @@ class CoraNet:
             da = DeviceAugment(cfg, trainer._data_rng)
             loader = get_loader(cfg.base_root, "val", trainer.fold, 1,
                                 cfg.data_aug, cfg=cfg, rng=trainer._data_rng,
-                                raw=True)
+                                raw=True, num_shards=1, shard_id=0)
             for batch in loader:
                 img, msk = da(batch.img, batch.msk)
                 yield (np.asarray(img[0]), np.asarray(msk[0]),
                        int(batch.mdl[0]))
         else:
             loader = get_loader(cfg.base_root, "val", trainer.fold, 1,
-                                cfg.data_aug, cfg=cfg, rng=trainer._data_rng)
+                                cfg.data_aug, cfg=cfg, rng=trainer._data_rng,
+                                num_shards=1, shard_id=0)
             for batch in loader:
                 yield batch.img[0], batch.msk[0], int(batch.mdl[0])
 

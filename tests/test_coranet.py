@@ -167,3 +167,60 @@ def test_make_extra_batch_drop_last(rng):
         b = algo.make_extra_batch()
         assert b["pse_img"].shape[0] == CFG.batch_size
     # cycling reshuffles without crashing on the partial remainder
+
+
+def test_unlabeled_stream_is_global_under_multiprocess(tmp_path, monkeypatch):
+    """The pseudo-label stream must NOT be sharded across hosts: every
+    process walks the identical full bs=1 pass so self._pseudo is the same
+    array everywhere — the premise of make_extra_batch's per-host slicing.
+    Regression: get_loader auto-shards 'val' loaders, which (a) fired the
+    non-divisible assert at bs=1 and (b) gave each host a different pseudo
+    set."""
+    from smsut_tpu.data.synthetic import make_synthetic_dataset
+    from smsut_tpu.parallel import distributed
+
+    data_root = str(tmp_path / "synth")
+    make_synthetic_dataset(data_root, n_patients_per_modality=3, n_slice=4,
+                           size=32)
+    cfg = CFG.replace(base_root=data_root, device_augment=False,
+                      data_aug=dict(Config().data_aug, resizeCrop_size=32))
+
+    class _T:
+        fold = 0
+        import random as _r
+        _data_rng = _r.Random(2020)
+
+    algo = CoraNet(cfg, stage="cora")
+    n_single = sum(1 for _ in algo._unlabeled_stream(_T()))
+    assert n_single > 0
+
+    # fake a 2-process layout: the stream must stay global and identical
+    monkeypatch.setattr(distributed, "process_count", lambda: 2)
+    monkeypatch.setattr(distributed, "process_index", lambda: 1)
+    _T._data_rng = _T._r.Random(2020)
+    n_multi = sum(1 for _ in algo._unlabeled_stream(_T()))
+    assert n_multi == n_single
+
+
+def test_lr_schedules_survive_past_total_iters():
+    """Past-end steps must clamp to 0, not go NaN (device) or complex
+    (host log).  Regression: CoraNet stage A runs pre_epoch epochs while
+    the generic display poly was built over max_epoch*num_iter_per_epoch —
+    when pre_epoch > max_epoch the display crashed on a complex float and
+    the device schedule would have NaN'd the weights."""
+    from smsut_tpu.ops.schedules import poly_lr_host, poly_lr_schedule
+
+    sched = poly_lr_schedule(0.01, 12)
+    in_range = float(sched(12))      # eff=11 < 12: normal poly value
+    assert 0 < in_range < 0.01
+    assert float(sched(13)) == 0.0   # eff=12: exactly consumed
+    assert float(sched(50)) == 0.0   # far past the end: clamped, not NaN
+    assert poly_lr_host(0.01, 50, 12) == 0.0
+    assert abs(poly_lr_host(0.01, 12, 12) - in_range) < 1e-9
+
+    pre = CoraNet(CFG, stage="pre")
+    assert pre.lr_at(10_000) == CFG.lr  # stage A: constant, never decays
+    cora = CoraNet(CFG, stage="cora")
+    total = CFG.cora_epoch * CFG.num_iter_per_epoch
+    assert cora.lr_at(1) == CFG.lr
+    assert cora.lr_at(total + 99) == 0.0

@@ -33,6 +33,9 @@ def test_export_roundtrip_matches_live_model(tmp_path, rng):
     predict, manifest = load_serving(out)
     assert manifest["input"]["shape"] == [2, 32, 32, 1]
     assert manifest["n_class"] == cfg.n_class
+    # the artifact must be multi-platform: exported on the TPU training
+    # host, it still has to load on a CPU serving box
+    assert manifest["platforms"] == ["cpu", "tpu"]
 
     img = rng.normal(size=(2, 32, 32, 1)).astype(np.float32)
     want = np.asarray(algo.eval_fn(params, jnp.asarray(img)))

@@ -21,8 +21,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--set")]
-    sets = [a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--set=")]
+    # accept both "--set K=V" (the usage string's form) and "--set=K=V"
+    argv, args, sets = sys.argv[1:], [], []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--set" and i + 1 < len(argv):
+            sets.append(argv[i + 1])
+            i += 2
+        elif a.startswith("--set="):
+            sets.append(a.split("=", 1)[1])
+            i += 1
+        else:
+            args.append(a)
+            i += 1
     if len(args) != 3:
         raise SystemExit(__doc__)
     model, expr, out_dir = args

@@ -21,8 +21,20 @@ sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(
 def main():
     import ast
 
-    args = [a for a in sys.argv[1:] if not a.startswith("--set")]
-    sets = [a.split("=", 1) for a in sys.argv[1:] if a.startswith("--set=")]
+    # accept both "--set K=V" (the usage string's form) and "--set=K=V"
+    argv, args, sets = sys.argv[1:], [], []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--set" and i + 1 < len(argv):
+            sets.append((None, argv[i + 1]))
+            i += 2
+        elif a.startswith("--set="):
+            sets.append((None, a.split("=", 1)[1]))
+            i += 1
+        else:
+            args.append(a)
+            i += 1
     model = args[0] if args else "unet"
     batch = int(args[1]) if len(args) > 1 else 0
     n_steps = int(args[2]) if len(args) > 2 else 12

@@ -27,10 +27,11 @@ def categorize(hlo: str) -> str:
         return "layout/copy"
     if kind.startswith("convolution"):
         return "convolution"
-    if "conv" in hlo.split("=", 1)[-1][:400] and kind == "fusion":
-        # output fusions wrapping a convolution keep 'convolution(' in body
-        pass
     if kind == "fusion":
+        if "conv" in hlo.split("=", 1)[-1][:400]:
+            # output fusions wrapping a convolution keep 'convolution(' in
+            # the body — separate them from pure elementwise fusions
+            return "fusion (conv)"
         return "fusion"
     if "reduce" in kind:
         return f"reduce ({kind})" if "fusion" in kind else "reduce"
