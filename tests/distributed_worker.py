@@ -153,8 +153,54 @@ def run_chunked(T: int = 2, n_chunks: int = 2, gb: int = 8):
     return float(np.asarray(mets["loss"])[-1]), _state_checksum(state)
 
 
+def run_pseudo():
+    """CoraNet stage-B pseudo pipeline under multi-process: the unlabeled
+    stream must be GLOBAL (identical self._pseudo on every host — it is
+    deliberately NOT sharded) and make_extra_batch's per-host slice of the
+    shared shuffled index list must assemble to the single-process batch.
+    Returns (proc, pseudo_sha, [per-draw slice shas], plab_dice)."""
+    import hashlib
+    import random as pyrandom
+
+    from smsut_tpu.train.steps.coranet import CoraNet
+
+    data_root = os.environ["SMSUT_DATA_ROOT"]
+    cfg = Config(base_root=data_root, input_size=32, base_width=4,
+                 batch_size=4, device_augment=False, compute_dtype="float32",
+                 data_aug=dict(Config().data_aug, resizeCrop_size=32))
+    algo = CoraNet(cfg, stage="cora")
+    state = algo.init_state(jax.random.PRNGKey(0))
+
+    class _T:
+        fold = 0
+        _data_rng = pyrandom.Random(2020)
+
+    algo._pseudo, plab_dice = algo.pred_unlabel(state, algo._unlabeled_stream(_T()))
+    algo._pseudo_order = []
+
+    def sha(*arrays):
+        h = hashlib.sha256()
+        for a in arrays:
+            h.update(np.ascontiguousarray(a).tobytes())
+        return h.hexdigest()
+
+    pseudo_sha = sha(*(algo._pseudo[k] for k in sorted(algo._pseudo)))
+    draws = []
+    for _ in range(3):
+        b = algo.make_extra_batch()
+        draws.append(sha(b["pse_img"], b["pse_lab"], b["pse_mask"]))
+    return pseudo_sha, draws, float(plab_dice)
+
+
 def main(n_steps: int = 3, global_batch: int = 8) -> None:
     mode = os.environ.get("SMSUT_MODE", "step")
+    if mode == "pseudo":
+        pseudo_sha, draws, plab_dice = run_pseudo()
+        print(json.dumps({"proc": distributed.process_index(),
+                          "pseudo_sha": pseudo_sha, "draws": draws,
+                          "plab_dice": plab_dice}))
+        sys.stdout.flush()
+        return
     if mode == "gan":
         metrics, g_cksum, d_cksum = run_gan()
         if distributed.is_primary():

@@ -100,11 +100,12 @@ def _single_process_reference(n_steps: int = 3, global_batch: int = 8):
     return float(metrics["loss"]), cksum
 
 
-def _run_two_workers(mode: str, timeout: int = 600) -> dict:
+def _run_two_workers(mode: str, timeout: int = 600, extra_env: dict = None,
+                     all_outputs: bool = False):
     port = _free_port()
     procs = []
     for pid in range(2):
-        env = dict(os.environ)
+        env = dict(os.environ, **(extra_env or {}))
         env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
         env["JAX_PLATFORMS"] = "cpu"
         env["SMSUT_COORDINATOR"] = f"127.0.0.1:{port}"
@@ -125,6 +126,8 @@ def _run_two_workers(mode: str, timeout: int = 600) -> dict:
             raise
         assert p.returncode == 0, f"worker failed:\n{err[-4000:]}"
         outs.append(out)
+    if all_outputs:
+        return [json.loads(o.strip().splitlines()[-1]) for o in outs]
     return json.loads(outs[0].strip().splitlines()[-1])
 
 
@@ -179,3 +182,60 @@ def test_two_process_chunked_dispatch_matches_single_process():
     assert abs(result["loss"] - ref_loss) < 1e-4, (result, ref_loss)
     assert abs(result["checksum"] - ref_cksum) / max(abs(ref_cksum), 1.0) < 1e-5, \
         (result, ref_cksum)
+
+
+@pytest.mark.slow
+def test_two_process_coranet_pseudo_matches_single_process(tmp_path):
+    """CoraNet stage B's pseudo-label pipeline under 2 real processes: the
+    unlabeled stream stays GLOBAL (identical _pseudo on both hosts) and the
+    per-host make_extra_batch slices assemble to exactly the single-process
+    global batch.  Regression for the auto-sharded 'val' loader bug."""
+    import hashlib
+
+    from smsut_tpu.data.synthetic import make_synthetic_dataset
+
+    data_root = str(tmp_path / "synth")
+    make_synthetic_dataset(data_root, n_patients_per_modality=3, n_slice=4,
+                           size=32)
+    results = _run_two_workers("pseudo", extra_env={"SMSUT_DATA_ROOT": data_root},
+                               all_outputs=True)
+    by_proc = {r["proc"]: r for r in results}
+    assert set(by_proc) == {0, 1}
+    # premise 1: the pseudo set is bit-identical on every host
+    assert by_proc[0]["pseudo_sha"] == by_proc[1]["pseudo_sha"]
+
+    # premise 2: the two hosts' slices are this process's global batch
+    import random as pyrandom
+
+    from smsut_tpu.config import Config
+    from smsut_tpu.train.steps.coranet import CoraNet
+
+    cfg = Config(base_root=data_root, input_size=32, base_width=4,
+                 batch_size=4, device_augment=False, compute_dtype="float32",
+                 data_aug=dict(Config().data_aug, resizeCrop_size=32))
+    algo = CoraNet(cfg, stage="cora")
+    state = algo.init_state(jax.random.PRNGKey(0))
+
+    class _T:
+        fold = 0
+        _data_rng = pyrandom.Random(2020)
+
+    algo._pseudo, plab_dice = algo.pred_unlabel(state,
+                                                algo._unlabeled_stream(_T()))
+    algo._pseudo_order = []
+
+    def sha(*arrays):
+        h = hashlib.sha256()
+        for a in arrays:
+            h.update(np.ascontiguousarray(a).tobytes())
+        return h.hexdigest()
+
+    assert by_proc[0]["pseudo_sha"] == sha(
+        *(algo._pseudo[k] for k in sorted(algo._pseudo)))
+    assert abs(by_proc[0]["plab_dice"] - float(plab_dice)) < 1e-6
+    for d in range(3):
+        b = algo.make_extra_batch()
+        assert by_proc[0]["draws"][d] == sha(
+            b["pse_img"][:2], b["pse_lab"][:2], b["pse_mask"][:2])
+        assert by_proc[1]["draws"][d] == sha(
+            b["pse_img"][2:], b["pse_lab"][2:], b["pse_mask"][2:])
