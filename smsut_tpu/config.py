@@ -189,6 +189,9 @@ class Config:
     # rematerialize GAN generator forwards (jax.checkpoint): trades FLOPs
     # for HBM, enabling larger batches.
     remat: bool = False
+    # rematerialize the plain UNet's encoder/decoder blocks — identical
+    # math, aimed at the batch>=32 VMEM-spilled regime (BASELINE.md).
+    remat_unet: bool = False
     # pseudo phase: volumes whose slices are additionally assembled into a
     # whole-volume translation grid jpg — the reference's hand-picked
     # visualization list (`uganConsisTrainer.py:292`).

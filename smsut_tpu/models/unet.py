@@ -28,15 +28,22 @@ class UNet(nn.Module):
     # lane-friendly; models/packed.py).  Requires H/W divisible by 2^N and
     # instance norm.
     pack_levels: int = 0
+    # rematerialize encoder/decoder in the backward pass (jax.checkpoint):
+    # identical math, trades recompute FLOPs for activation HBM traffic —
+    # aimed at the batch>=32 VMEM-spilled regime (BASELINE.md batch
+    # scaling).  Param tree unchanged (nn.remat is a lifted transform).
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         x = x.astype(self.dtype)
         pack = self.pack_levels if self.norm_type == "instance" else 0
-        h, skips = Encoder(self.width, self.norm_type, self.act_type, self.dtype,
-                           pack_levels=pack, name="encoder")(x)
-        y = Decoder(self.out_ch, self.width, self.norm_type, self.act_type, self.dtype,
-                    pack_levels=pack, name="decoder")(h, skips)
+        Enc, Dec = ((nn.remat(Encoder), nn.remat(Decoder)) if self.remat
+                    else (Encoder, Decoder))
+        h, skips = Enc(self.width, self.norm_type, self.act_type, self.dtype,
+                       pack_levels=pack, name="encoder")(x)
+        y = Dec(self.out_ch, self.width, self.norm_type, self.act_type, self.dtype,
+                pack_levels=pack, name="decoder")(h, skips)
         return y.astype(jnp.float32)
 
 

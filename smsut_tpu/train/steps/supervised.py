@@ -31,7 +31,8 @@ class SupervisedUNet:
         dtype = setup_compute(cfg)
         self.net = UNet(out_ch=cfg.n_class, width=cfg.base_width,
                         norm_type="instance", act_type="lrelu", dtype=dtype,
-                        pack_levels=cfg.pack_levels)
+                        pack_levels=cfg.pack_levels,
+                        remat=getattr(cfg, "remat_unet", False))
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
         self._eval_logits = jax.jit(self._eval_logits_impl)
 

@@ -112,3 +112,29 @@ def test_dtc_dual_heads():
     out1, out2 = net.apply(params, x)
     assert out1.shape == out2.shape == (1, 64, 64, 5)
     assert float(jnp.max(jnp.abs(out1))) <= 1.0
+
+
+def test_unet_remat_identical(rng):
+    """remat=True is a pure scheduling change: same param tree, same
+    forward, same gradients (nn.remat recomputes in backward)."""
+    from smsut_tpu.models.unet import UNet
+
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 1)).astype(np.float32))
+    a = UNet(out_ch=5, width=4, norm_type="instance", act_type="lrelu",
+             pack_levels=1, remat=False)
+    b = UNet(out_ch=5, width=4, norm_type="instance", act_type="lrelu",
+             pack_levels=1, remat=True)
+    va = a.init(jax.random.PRNGKey(0), x)
+    vb = b.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(va) == jax.tree_util.tree_structure(vb)
+
+    def loss(m, v):
+        return jnp.sum(m.apply(v, x) ** 2)
+
+    la, ga = jax.value_and_grad(lambda v: loss(a, v))(va)
+    lb, gb = jax.value_and_grad(lambda v: loss(b, v))(vb)
+    np.testing.assert_allclose(float(la), float(lb), rtol=1e-6)
+    for pa, pb in zip(jax.tree_util.tree_leaves(ga),
+                      jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=1e-5, atol=1e-6)
