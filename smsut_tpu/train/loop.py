@@ -165,6 +165,7 @@ class Trainer:
         self._eval_step = jax.jit(self._eval_step_impl)
         self._eval_scan_c = None     # compiled whole-sweep eval scan
         self._eval_dev = None        # device-resident stacked test set
+        self._eval_mp_synced = False  # one-time pre-allgather barrier done
 
     def _log_param_counts(self) -> None:
         """Startup parameter-count log, matching the reference's
@@ -666,10 +667,18 @@ class Trainer:
                     self._eval_scan_fn(self._eval_step_impl))
             losses, preds = self._eval_scan_c(
                 host_params, imgs[sl], msks[sl], valid[sl])
+            losses, preds = np.asarray(losses), np.asarray(preds)
+            if not self._eval_mp_synced:
+                # the host-local eval compile above can skew processes by
+                # minutes; if this allgather is the process's FIRST
+                # collective, the Gloo context init would hit its ~30s
+                # deadline (distributed.barrier docstring) — re-sync once
+                from smsut_tpu.parallel import distributed as _dist
+                _dist.barrier("eval-sweep-compiled")
+                self._eval_mp_synced = True
             losses, preds = jax.tree_util.tree_map(
                 lambda x: np.asarray(x),
-                multihost_utils.process_allgather((np.asarray(losses),
-                                                   np.asarray(preds))))
+                multihost_utils.process_allgather((losses, preds)))
             losses = losses.reshape(per * nproc)[:n]
             preds = preds.reshape((per * nproc,) + preds.shape[2:])[:n]
         else:

@@ -192,8 +192,48 @@ def run_pseudo():
     return pseudo_sha, draws, float(plab_dice)
 
 
+def run_eval():
+    """Multi-host sharded whole-sweep eval (train/loop.py
+    _validate_epoch_scan `_mp` branch): each host evals its contiguous
+    padded slice with a host-local params copy, then allgathers.  Returns
+    (n_pred_slices, sha256 of the reassembled volume predictions, meter
+    values) for the parent to compare against a single-process run."""
+    import hashlib
+
+    from smsut_tpu.data.dataset import get_label_npys, get_loader
+    from smsut_tpu.train.loop import Trainer
+    from smsut_tpu.train.steps.supervised import SupervisedUNet
+    from smsut_tpu.utils.meter import Meter
+
+    # batch 8: make_mesh clamps the data axis to divide the batch, and a
+    # narrower mesh would hold no local devices on process 1
+    cfg = Config(base_root=os.environ["SMSUT_DATA_ROOT"],
+                 expr_root=os.environ["SMSUT_EXPR_ROOT"],
+                 input_size=32, base_width=4, batch_size=8,
+                 compute_dtype="float32")
+    algo = SupervisedUNet(cfg)
+    trainer = Trainer(algo, cfg, "test")
+    loader = get_loader(cfg.base_root, "test", 0, cfg.batch_size, cfg=cfg)
+    n_gt, gt_npys = get_label_npys(cfg.base_root, "test", cfg.split_yaml)
+    meter = Meter([f"loss_{i}" for i in range(4)] + ["loss"], [], alpha=1.0)
+    meter.reset_cur()
+    n_prd, prd = trainer.validate_epoch(loader, gt_npys, meter)
+    meter.update_cur()
+    h = hashlib.sha256()
+    for k in sorted(prd):
+        h.update(np.ascontiguousarray(prd[k]).tobytes())
+    return n_prd, h.hexdigest(), {k: float(v) for k, v in
+                                  dict(meter.cur_values).items()}
+
+
 def main(n_steps: int = 3, global_batch: int = 8) -> None:
     mode = os.environ.get("SMSUT_MODE", "step")
+    if mode == "eval":
+        n_prd, sha, mets = run_eval()
+        print(json.dumps({"proc": distributed.process_index(),
+                          "n_prd": n_prd, "sha": sha, "meter": mets}))
+        sys.stdout.flush()
+        return
     if mode == "pseudo":
         pseudo_sha, draws, plab_dice = run_pseudo()
         print(json.dumps({"proc": distributed.process_index(),

@@ -239,3 +239,51 @@ def test_two_process_coranet_pseudo_matches_single_process(tmp_path):
             b["pse_img"][:2], b["pse_lab"][:2], b["pse_mask"][:2])
         assert by_proc[1]["draws"][d] == sha(
             b["pse_img"][2:], b["pse_lab"][2:], b["pse_mask"][2:])
+
+
+@pytest.mark.slow
+def test_two_process_eval_matches_single_process(tmp_path):
+    """Sharded whole-sweep eval under 2 real processes (each host evals
+    its contiguous slice, results allgathered — loop.py
+    _validate_epoch_scan `_mp` branch) reproduces the single-device eval:
+    identical volume predictions (sha256) and matching meter losses."""
+    from smsut_tpu.config import Config
+    from smsut_tpu.data.dataset import get_label_npys, get_loader
+    from smsut_tpu.data.synthetic import make_synthetic_dataset
+    from smsut_tpu.train.loop import Trainer
+    from smsut_tpu.train.steps.supervised import SupervisedUNet
+    from smsut_tpu.utils.meter import Meter
+
+    data_root = str(tmp_path / "synth")
+    make_synthetic_dataset(data_root, n_patients_per_modality=3, n_slice=5,
+                           size=32)
+    results = _run_two_workers(
+        "eval", extra_env={"SMSUT_DATA_ROOT": data_root,
+                           "SMSUT_EXPR_ROOT": str(tmp_path / "expr")},
+        all_outputs=True)
+    # the allgather hands every host the same reassembled predictions
+    assert results[0]["sha"] == results[1]["sha"]
+    assert results[0]["n_prd"] == results[1]["n_prd"]
+
+    # single-device reference (no mesh): same per-step program as each
+    # host's local-slice eval
+    import hashlib
+
+    cfg = Config(base_root=data_root, expr_root=str(tmp_path / "expr_ref"),
+                 input_size=32, base_width=4, batch_size=8,
+                 compute_dtype="float32")
+    algo = SupervisedUNet(cfg)
+    trainer = Trainer(algo, cfg, "test", use_mesh=False)
+    loader = get_loader(cfg.base_root, "test", 0, cfg.batch_size, cfg=cfg)
+    n_gt, gt_npys = get_label_npys(cfg.base_root, "test", cfg.split_yaml)
+    meter = Meter([f"loss_{i}" for i in range(4)] + ["loss"], [], alpha=1.0)
+    meter.reset_cur()
+    n_prd, prd = trainer.validate_epoch(loader, gt_npys, meter)
+    meter.update_cur()
+    h = hashlib.sha256()
+    for k in sorted(prd):
+        h.update(np.ascontiguousarray(prd[k]).tobytes())
+    assert results[0]["n_prd"] == n_prd == n_gt
+    assert results[0]["sha"] == h.hexdigest()
+    for k, v in dict(meter.cur_values).items():
+        assert abs(results[0]["meter"][k] - float(v)) < 1e-5, (k, v)
