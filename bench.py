@@ -507,6 +507,57 @@ def bench_eval(eval_scan: bool, repeats: int = 3) -> dict:
             "device": kind, "suspect": False, "n_slices": n_gt}
 
 
+def bench_serve(model: str, iters: int = 30, batch: int = 0) -> dict:
+    """Serving latency of the exported StableHLO artifact
+    (`smsut_tpu/serve.py`): export the model's eval function with its
+    parameters baked in, reload it with NO framework model code, and time
+    chained dispatches under the same honesty rules as the train bench
+    (2N−N difference; the final fetch is a device-side scalar reduce, so
+    the tunnel never moves the [B,H,W,C] logits to the host)."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from smsut_tpu.config import Config
+    from smsut_tpu.serve import export_eval, load_serving
+
+    cfg = Config()
+    if _CFG_OVERRIDES:
+        cfg = cfg.replace(**_CFG_OVERRIDES)
+    if batch:
+        cfg = cfg.replace(batch_size=batch)
+    algo, state, batch_d, _ = make_algo(model, Config(), batch)
+    with tempfile.TemporaryDirectory() as td:
+        export_eval(algo, algo.eval_params(state), cfg, td)
+        predict, manifest = load_serving(td)
+    bs = manifest["input"]["shape"][0]
+    img = batch_d["img"]
+    fn = jax.jit(predict)
+
+    @jax.jit
+    def cksum(y):
+        return jnp.sum(y.astype(jnp.float32))
+
+    float(jax.device_get(cksum(fn(img))))          # compile + warm
+
+    def timed(n):
+        y = None
+        tic = time.perf_counter()
+        for _ in range(n):
+            y = fn(img)
+        float(jax.device_get(cksum(y)))            # drains the whole queue
+        return time.perf_counter() - tic
+
+    t1, t2 = timed(iters), timed(2 * iters)
+    sec = max((t2 - t1) / iters, 1e-9)
+    if t2 <= t1:
+        sec = t2 / (2 * iters)
+    _, kind = chip_peak()
+    return {"slices_per_sec": bs / sec, "ms_per_step": sec * 1e3,
+            "device": kind, "suspect": False, "n_slices": bs}
+
+
 def _emit(metric: str, res: dict, vs_baseline: float = 0.0):
     out = {
         "metric": metric,
@@ -550,6 +601,9 @@ def main():
     ap.add_argument("--eval", dest="eval_mode", choices=("scan", "batch"),
                     default=None,
                     help="bench an eval epoch (whole-sweep scan vs per-batch)")
+    ap.add_argument("--serve", action="store_true",
+                    help="bench the exported StableHLO serving artifact "
+                         "(inference latency, params baked in)")
     ap.add_argument("--set", dest="sets", action="append", default=[],
                     metavar="K=V", help="config override, like the trainer CLI")
     args = ap.parse_args()
@@ -592,6 +646,11 @@ def main():
     if args.eval_mode:
         res = bench_eval(eval_scan=(args.eval_mode == "scan"))
         _emit(f"eval_{args.eval_mode}_slices_per_sec_per_chip", res)
+        return
+
+    if args.serve:
+        res = bench_serve(args.model, args.iters, args.batch)
+        _emit(f"serve_{args.model}_slices_per_sec_per_chip", res)
         return
 
     res = bench_jax(args.model, args.iters, use_pallas=args.pallas,
