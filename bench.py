@@ -511,9 +511,9 @@ def bench_serve(model: str, iters: int = 30, batch: int = 0) -> dict:
     """Serving latency of the exported StableHLO artifact
     (`smsut_tpu/serve.py`): export the model's eval function with its
     parameters baked in, reload it with NO framework model code, and time
-    chained dispatches under the same honesty rules as the train bench
-    (2N−N difference; the final fetch is a device-side scalar reduce, so
-    the tunnel never moves the [B,H,W,C] logits to the host)."""
+    queued async dispatches drained by a device-side scalar checksum, under
+    the same honesty rules as the train bench (2N−N difference; the tunnel
+    never moves the [B,H,W,C] logits to the host)."""
     import tempfile
 
     import jax
@@ -522,16 +522,15 @@ def bench_serve(model: str, iters: int = 30, batch: int = 0) -> dict:
     from smsut_tpu.config import Config
     from smsut_tpu.serve import export_eval, load_serving
 
-    cfg = Config()
-    if _CFG_OVERRIDES:
-        cfg = cfg.replace(**_CFG_OVERRIDES)
-    if batch:
-        cfg = cfg.replace(batch_size=batch)
     algo, state, batch_d, _ = make_algo(model, Config(), batch)
+    # single source of truth for the export shape: the benchmarked algo's
+    # own resolved config (ADVICE r3)
+    cfg = algo.cfg
     with tempfile.TemporaryDirectory() as td:
         export_eval(algo, algo.eval_params(state), cfg, td)
         predict, manifest = load_serving(td)
     bs = manifest["input"]["shape"][0]
+    assert bs == cfg.batch_size, (bs, cfg.batch_size)
     img = batch_d["img"]
     fn = jax.jit(predict)
 
@@ -539,7 +538,9 @@ def bench_serve(model: str, iters: int = 30, batch: int = 0) -> dict:
     def cksum(y):
         return jnp.sum(y.astype(jnp.float32))
 
-    float(jax.device_get(cksum(fn(img))))          # compile + warm
+    for _ in range(3):                             # compile + warm (3
+        y = fn(img)                                # dispatches, matching
+    float(jax.device_get(cksum(y)))                # time_step's protocol)
 
     def timed(n):
         y = None

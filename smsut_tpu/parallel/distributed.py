@@ -77,7 +77,14 @@ def local_batch_slice(global_batch: int) -> slice:
     """This host's contiguous slice of a globally-sharded batch.  The slice
     order matches ``mesh.shard_batch``'s device order (process-major), so
     host i's rows land on host i's chips with no resharding."""
-    per = global_batch // max(1, jax.process_count())
+    count = max(1, jax.process_count())
+    if global_batch % count:
+        raise ValueError(
+            f"global batch {global_batch} is not divisible by the "
+            f"{count} processes — rows would be silently dropped.  Pick a "
+            f"batch_size that is a multiple of the process count (or change "
+            f"SMSUT_NUM_PROCESSES).")
+    per = global_batch // count
     start = jax.process_index() * per
     return slice(start, start + per)
 

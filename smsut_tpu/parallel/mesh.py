@@ -65,8 +65,23 @@ def make_mesh_2d(dp: int, tp: int, devices: Optional[Sequence] = None) -> Mesh:
 def shard_params_channelwise(mesh: Mesh, params: Any) -> Any:
     """device_put a param tree with every kernel's output-channel (last) dim
     sharded over 'model' when divisible; everything else replicated over the
-    whole mesh.  Gradients/optimizer state inherit the layout."""
+    whole mesh.  Gradients/optimizer state inherit the layout.
+
+    Tensor parallelism must NOT be combined with spatial parallelism: XLA's
+    GSPMD partitioner mis-compiles convolutions whose kernels are
+    feature-sharded while activations are H-sharded (jax 0.9.0: wrong
+    forward values and gradients off by exact collective factors — 0.5x/3x;
+    minimal repro in tests/test_mesh_guard.py, which also serves as the
+    canary for lifting this guard when upstream fixes it).  dp x tp and
+    dp x sp are both verified equivalent to single-device
+    (__graft_entry__.dryrun_multichip)."""
     tp = mesh.shape["model"]
+    if tp > 1 and mesh.shape.get("space", 1) > 1:
+        raise ValueError(
+            "channel-wise tensor parallelism cannot be combined with "
+            "spatial parallelism ('model' and 'space' mesh axes both > 1): "
+            "XLA GSPMD mis-compiles feature+space-sharded convolutions "
+            "(see parallel/mesh.py docstring).  Use dp x tp or dp x sp.")
 
     def put(x):
         if x.ndim >= 2 and x.shape[-1] % tp == 0:

@@ -28,7 +28,18 @@ def setup_compute(cfg: Config):
                       getattr(cfg, "d_pack_mode", ""))
     from smsut_tpu.models import layout_pin
 
-    layout_pin.set_mode(getattr(cfg, "layout_pin", "off"))
+    pin_mode = getattr(cfg, "layout_pin", "off")
+    d_mode = getattr(cfg, "d_pack_mode", "") or getattr(cfg, "pack_mode", "hw")
+    if pin_mode != "off" and d_mode == "w":
+        # Documented-crashing combination (config.py layout_pin note): the
+        # axon TPU backend aborts compiling W-packed discriminator convs
+        # under a layout constraint.  Fail with a clear message instead.
+        raise ValueError(
+            f"layout_pin={pin_mode!r} cannot be combined with the W-packed "
+            f"discriminator (d_pack_mode='w', the default) — it crashes the "
+            f"TPU backend.  Use --set d_pack_mode=hw (or pack_mode=hw with "
+            f"d_pack_mode='') to experiment with layout pinning.")
+    layout_pin.set_mode(pin_mode)
     from smsut_tpu.ops import conv_pallas as cp
 
     mode = getattr(cfg, "conv_pallas", "off")

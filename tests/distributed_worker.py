@@ -226,8 +226,46 @@ def run_eval():
                                   dict(meter.cur_values).items()}
 
 
+def run_ckpt(global_batch: int = 8):
+    """Elastic resume, save side (VERDICT r3 #5): train 3 supervised steps on
+    the 2-process global mesh, checkpoint the FULL replicated state via
+    orbax's multi-host path, continue 2 more steps, and report the final
+    checksum.  The parent restores the checkpoint in a SINGLE process and
+    replays the last 2 steps — matching checksums prove the checkpoint is
+    portable across process counts (`uganShp0Trainer.py:76-107` save/load
+    surface, extended with true mid-training resume)."""
+    from smsut_tpu.train import checkpoints
+
+    cfg = Config(input_size=64, base_width=4, batch_size=global_batch,
+                 norm_stats="reduce")
+    algo = SupervisedUNet(cfg)
+    mesh = make_mesh(batch_size=global_batch)
+    state = replicate(mesh, algo.init_state(jax.random.PRNGKey(0)))
+    rng = np.random.default_rng(0)
+    img_g = rng.normal(size=(global_batch, 64, 64, 1)).astype(np.float32)
+    msk_g = rng.integers(0, cfg.n_class,
+                         size=(global_batch, 64, 64)).astype(np.int32)
+    sl = distributed.local_batch_slice(global_batch)
+    batch = shard_batch(mesh, {"img": img_g[sl], "msk": msk_g[sl]})
+    algo._train_step.lower(state, batch, {}).compile()
+    distributed.barrier("ckpt-compiled")
+    for _ in range(3):
+        state, _ = algo.train_step(state, batch, {})
+    checkpoints.save_state(state, os.environ["SMSUT_CKPT_DIR"], "elastic")
+    distributed.barrier("ckpt-saved")
+    for _ in range(2):
+        state, metrics = algo.train_step(state, batch, {})
+    return float(metrics["loss"]), _state_checksum(state.params)
+
+
 def main(n_steps: int = 3, global_batch: int = 8) -> None:
     mode = os.environ.get("SMSUT_MODE", "step")
+    if mode == "ckpt":
+        loss, cksum = run_ckpt()
+        if distributed.is_primary():
+            print(json.dumps({"loss": loss, "checksum": cksum}))
+        sys.stdout.flush()
+        return
     if mode == "eval":
         n_prd, sha, mets = run_eval()
         print(json.dumps({"proc": distributed.process_index(),

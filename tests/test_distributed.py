@@ -47,6 +47,18 @@ def test_sharded_sampler_partitions_batches():
         assert a + b == g  # contiguous slices, in order
 
 
+def test_local_batch_slice_rejects_indivisible(monkeypatch):
+    """An indivisible global batch must fail loud, not silently drop rows
+    (VERDICT r3 #6)."""
+    from smsut_tpu.parallel import distributed
+
+    monkeypatch.setattr(jax, "process_count", lambda: 3)
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    assert distributed.local_batch_slice(9) == slice(3, 6)
+    with pytest.raises(ValueError, match="not divisible"):
+        distributed.local_batch_slice(8)
+
+
 def test_get_loader_explicit_shards(tmp_path):
     from smsut_tpu.data.dataset import get_loader
     from smsut_tpu.data.synthetic import make_synthetic_dataset
@@ -139,6 +151,45 @@ def test_two_process_training_matches_single_process():
     assert abs(result["loss"] - ref_loss) < 1e-4, (result, ref_loss)
     assert abs(result["checksum"] - ref_cksum) / max(abs(ref_cksum), 1.0) < 1e-5, \
         (result, ref_cksum)
+
+
+@pytest.mark.slow
+def test_elastic_resume_two_proc_to_one_proc(tmp_path):
+    """Train 2-proc, checkpoint mid-training, resume SINGLE-process and
+    match (VERDICT r3 #5).  The 2-proc workers save the full state (params +
+    optimizer + step) after step 3 via orbax's multi-host path and finish 5
+    steps; here we restore that checkpoint with jax.process_count()==1,
+    replay steps 4-5 on the local 8-device mesh, and compare checksums."""
+    from smsut_tpu.config import Config
+    from smsut_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from smsut_tpu.train import checkpoints
+    from smsut_tpu.train.steps.supervised import SupervisedUNet
+
+    result = _run_two_workers("ckpt",
+                              extra_env={"SMSUT_CKPT_DIR": str(tmp_path)})
+
+    global_batch = 8
+    cfg = Config(input_size=64, base_width=4, batch_size=global_batch,
+                 norm_stats="reduce")
+    algo = SupervisedUNet(cfg)
+    template = algo.init_state(jax.random.PRNGKey(1))
+    restored = checkpoints.load_state(template, str(tmp_path), "elastic")
+    assert int(restored.step) == 3   # mid-training, not weights-only
+    mesh = make_mesh(batch_size=global_batch)
+    state = replicate(mesh, restored)
+    rng = np.random.default_rng(0)
+    img = rng.normal(size=(global_batch, 64, 64, 1)).astype(np.float32)
+    msk = rng.integers(0, cfg.n_class,
+                       size=(global_batch, 64, 64)).astype(np.int32)
+    batch = shard_batch(mesh, {"img": img, "msk": msk})
+    for _ in range(2):
+        state, metrics = algo.train_step(state, batch, {})
+    leaves = jax.tree_util.tree_leaves(state.params)
+    cksum = float(sum(float(jnp.sum(jnp.abs(l))) for l in leaves))
+    # identical math, different all-reduce grouping -> tiny float drift
+    assert abs(result["loss"] - float(metrics["loss"])) < 1e-4, result
+    assert abs(result["checksum"] - cksum) / max(abs(cksum), 1.0) < 1e-5, \
+        (result, cksum)
 
 
 @pytest.mark.slow

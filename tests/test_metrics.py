@@ -107,6 +107,57 @@ def test_get_all_matrix_real_hd_option():
     assert hd_metric(a, a) == 0.0
 
 
+class TestGoldenFixtureParity:
+    """dc/assd/hd parity against committed golden fixtures on nontrivial
+    volumes (VERDICT r3 #4).  The goldens are produced by an INDEPENDENT
+    brute-force implementation of medpy's documented algorithm (explicit
+    neighbour loops + pairwise distances — no scipy morphology; see
+    tools/make_metric_fixtures.py), covering touching borders, edge-clipped
+    shapes, multiple components, anisotropic arrays, single voxels, 2-D
+    slices and empty classes.  Agreement to 1e-9 validates the production
+    scipy re-derivation's border semantics (`misc/utils.py:206-283`)."""
+
+    @pytest.fixture(scope="class")
+    def golden(self):
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "fixtures",
+                            "metric_golden.npz")
+        return np.load(path)
+
+    def _cases(self, golden):
+        return sorted({k.rsplit("__", 1)[0] for k in golden.files})
+
+    def test_dc_matches_golden(self, golden):
+        for name in self._cases(golden):
+            p, g = golden[f"{name}__pred"], golden[f"{name}__gt"]
+            assert dice_coefficient(p, g) == pytest.approx(
+                float(golden[f"{name}__dc"]), abs=1e-9), name
+
+    def test_assd_matches_golden(self, golden):
+        for name in self._cases(golden):
+            if f"{name}__assd" not in golden.files:
+                continue
+            p, g = golden[f"{name}__pred"], golden[f"{name}__gt"]
+            assert assd_metric(p, g) == pytest.approx(
+                float(golden[f"{name}__assd"]), abs=1e-9), name
+
+    def test_hd_matches_golden(self, golden):
+        from smsut_tpu.ops.metrics import hd_metric
+
+        for name in self._cases(golden):
+            if f"{name}__hd" not in golden.files:
+                continue
+            p, g = golden[f"{name}__pred"], golden[f"{name}__gt"]
+            assert hd_metric(p, g) == pytest.approx(
+                float(golden[f"{name}__hd"]), abs=1e-9), name
+
+    def test_empty_structures_raise(self, golden):
+        p, g = golden["pred_empty__pred"], golden["pred_empty__gt"]
+        with pytest.raises(RuntimeError):
+            assd_metric(p, g)
+
+
 def test_matrix_to_csv_format():
     m = np.arange(25, dtype=float).reshape(5, 5) / 10
     csv = matrix_to_csv(m, m)
