@@ -146,6 +146,13 @@ class Config:
     # (ops/conv_pallas.py): "off" | "on" | "auto" (= on when the backend is
     # a real TPU).  Attacks the conv emitter's layout-flip copies.
     conv_pallas: str = "off"
+    # fuse whole packed BasicBlocks (conv+instnorm+lrelu x2 + shortcut) into
+    # one Pallas kernel per direction (ops/block_pallas.py) at 128-lane
+    # shapes.  MEASURED SLOWER round 4 (kernel hits its 98 TF/s im2col-dot
+    # cap; XLA's conv emitter runs the same chains at 150-170 TF/s on this
+    # full-rate chip — BASELINE.md) — kept as tested opt-in for future XLA
+    # versions.
+    block_pallas: bool = False
     # instance-norm statistics: "reduce" (f32 jnp.sum fusions), "dot" (MXU
     # contractions against a ones vector — same f32 sums, measured slower),
     # or "bf16" (bf16-accumulated sums — drift bounded by

@@ -253,11 +253,16 @@ class PackedConv(nn.Module):
     use_bias: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: Optional[jax.Array] = None, *,
+                 only_kernel: bool = False) -> jax.Array:
         cin = sum(self.in_segments)
         w = self.param("kernel", kaiming_normal_fan_out(self.act_type),
                        (self.kernel, self.kernel, cin, self.features),
                        jnp.float32)
+        if only_kernel:
+            # parameter access for the fused whole-block kernel
+            # (PackedBasicBlock + ops/block_pallas) — same path/shape
+            return w
         y = packed_conv_apply(x, w, self.in_segments, self.dtype)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,),
@@ -389,12 +394,15 @@ class PackedNormAct(nn.Module):
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: Optional[jax.Array] = None, *,
+                 only_params: bool = False) -> jax.Array:
         assert self.norm_type == "instance", self.norm_type
         c = self.channels
-        assert x.shape[-1] == 4 * c, (x.shape, c)
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        if only_params:
+            return scale, bias
+        assert x.shape[-1] == 4 * c, (x.shape, c)
 
         b, h, w, _ = x.shape
         from smsut_tpu.models.layers import spatial_sums, stats_cast
@@ -520,17 +528,44 @@ class PackedBasicBlock(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         act = get_act(self.act_type)
         f = self.features
+        segs = tuple(self.in_segments)
+        conv1 = PackedConv(f, 3, segs, self.act_type, self.dtype,
+                           name="conv1")
+        bn1 = PackedNormAct(self.norm_type, self.act_type, f, self.dtype,
+                            name="bn1")
+        conv2 = PackedConv(f, 3, (f,), self.act_type, self.dtype,
+                           name="conv2")
+        bn2 = PackedNormAct(self.norm_type, None, f, self.dtype, name="bn2")
+        short = sum(segs) != f
+        if short:
+            sconv = PackedConv(f, 1, segs, self.act_type, self.dtype,
+                               name="shortcut1")
+            snorm = PackedNormAct(self.norm_type, None, f, self.dtype,
+                                  name="shortcut2")
+
+        from smsut_tpu.ops import block_pallas as bp
+
+        if (bp.enabled_for(x.shape, 4 * f) and self.act_type == "lrelu"
+                and self.norm_type == "instance" and CONV_IMPL == "v1"):
+            # whole-block fused Pallas path (Config.block_pallas): same
+            # parameters, packed kernels built outside the kernel
+            w1 = conv1(only_kernel=True)
+            s1, b1 = bn1(only_params=True)
+            w2 = conv2(only_kernel=True)
+            s2, b2 = bn2(only_params=True)
+            xd = x.astype(self.dtype)
+            wp1 = pack_kernel(w1, segs)
+            wp2 = pack_kernel(w2, (f,))
+            if short:
+                ws = sconv(only_kernel=True)
+                ss, bs = snorm(only_params=True)
+                return bp.apply_fused_block(xd, wp1, s1, b1, wp2, s2, b2,
+                                            pack_kernel(ws, segs), ss, bs)
+            return bp.apply_fused_block(xd, wp1, s1, b1, wp2, s2, b2)
+
         identity = x
-        y = PackedConv(f, 3, tuple(self.in_segments), self.act_type,
-                       self.dtype, name="conv1")(x)
-        y = PackedNormAct(self.norm_type, self.act_type, f, self.dtype,
-                          name="bn1")(y)
-        y = PackedConv(f, 3, (f,), self.act_type, self.dtype, name="conv2")(y)
-        y = PackedNormAct(self.norm_type, None, f, self.dtype, name="bn2")(y)
-        if sum(self.in_segments) != f:
-            identity = PackedConv(f, 1, tuple(self.in_segments),
-                                  self.act_type, self.dtype,
-                                  name="shortcut1")(identity)
-            identity = PackedNormAct(self.norm_type, None, f, self.dtype,
-                                     name="shortcut2")(identity)
+        y = bn1(conv1(x))
+        y = bn2(conv2(y))
+        if short:
+            identity = snorm(sconv(identity))
         return act(y + identity)

@@ -45,4 +45,7 @@ def setup_compute(cfg: Config):
     mode = getattr(cfg, "conv_pallas", "off")
     cp.set_conv_pallas(mode == "on" or (
         mode == "auto" and jax.default_backend() == "tpu"))
+    from smsut_tpu.ops import block_pallas as bp
+
+    bp.set_block_pallas(getattr(cfg, "block_pallas", False))
     return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
