@@ -216,12 +216,47 @@ def get_norm(norm_type: str, dtype: Dtype = jnp.float32, name: Optional[str] = N
     raise NotImplementedError(norm_type)
 
 
-def get_act(act_type: str) -> Callable[[jax.Array], jax.Array]:
-    """relu / leaky-relu(0.01) (`network/blocks.py:28-34`)."""
+@jax.custom_vjp
+def _lrelu_cv(x: jax.Array) -> jax.Array:
+    return jnp.where(x >= 0, x, (0.01 * x).astype(x.dtype))
+
+
+def _lrelu_cv_fwd(x):
+    y = _lrelu_cv(x)
+    # residual = the OUTPUT itself: lrelu with positive slope preserves
+    # sign, so the backward mask is recomputable from y.  XLA shares this
+    # buffer with the next op's own residual, so — unlike the default
+    # autodiff which materializes a pred[...] mask tensor per activation
+    # (8x lane-padded at the narrow decoder channels; profiled round 4) —
+    # nothing extra is saved.
+    return y, y
+
+
+def _lrelu_cv_bwd(y, g):
+    return (jnp.where(y >= 0, g, (0.01 * g).astype(g.dtype)),)
+
+
+_lrelu_cv.defvjp(_lrelu_cv_fwd, _lrelu_cv_bwd)
+
+
+def get_act(act_type: str,
+            high_order: bool = False) -> Callable[[jax.Array], jax.Array]:
+    """relu / leaky-relu(0.01) (`network/blocks.py:28-34`).
+
+    lrelu carries a custom vjp whose only residual is its own output —
+    identical math (y >= 0 <=> x >= 0 for slope 0.01 > 0, including the
+    x == 0 branch where both gradients use the full-pass branch), but the
+    default autodiff's saved pred mask disappears.
+
+    ``high_order=True`` returns the plain differentiable form instead:
+    custom_vjp does not support grad-of-grad, which the WGAN-GP critic
+    path needs through every discriminator activation."""
     if act_type == "relu":
         return jax.nn.relu
     if act_type == "lrelu":
-        return lambda x: jax.nn.leaky_relu(x, negative_slope=1e-2)
+        if high_order:
+            return lambda x: jax.nn.leaky_relu(x, negative_slope=1e-2)
+        return _lrelu_cv
     raise NotImplementedError(act_type)
 
 

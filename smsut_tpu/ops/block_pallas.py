@@ -254,6 +254,17 @@ def _fwd_call(x, w1f, sc1, bi1, w2f, sc2, bi2, wsf, scs, bis):
     return out, z1, pre
 
 
+
+def _lrelu_mask(v):
+    """lrelu'(v) without an i1 select: two staged huge multiplies map any
+    positive v to >=1 (or inf) and any v <= 0 to <= 0, then clip to
+    [slope, 1] — avoids boolean vectors (Mosaic relayout ICE in the fused
+    backward on jax 0.9.0).  Matches jnp.where(v > 0, 1, slope) including
+    v == 0 -> slope."""
+    a = v.astype(jnp.float32) * 1e20
+    return jnp.clip(a * 1e20, _SLOPE, 1.0)
+
+
 # ----------------------------------------------------------------- backward
 def _bwd_kernel(H, W, Ci, Co, has_short, strip,
                 x_ref, z1_ref, pre_ref, g_ref,
@@ -325,7 +336,7 @@ def _bwd_kernel(H, W, Ci, Co, has_short, strip,
     for r0 in range(0, H, strip):
         pre = pre_ref[0, r0: r0 + strip].astype(jnp.float32)
         gp = (g_ref[0, r0: r0 + strip].astype(jnp.float32)
-              * jnp.where(pre > 0, 1.0, _SLOPE))
+              * _lrelu_mask(pre))
         gb_ref[r0: r0 + strip] = gp.astype(gb_ref.dtype)
         xh = ((yb_ref[r0: r0 + strip].astype(jnp.float32)
                - m2t[:, None, :]) * r2t[:, None, :])
@@ -360,7 +371,7 @@ def _bwd_kernel(H, W, Ci, Co, has_short, strip,
         dz1 = jnp.dot(col_ref[: strip * W, :9 * Co], w2t_ref[:],
                       preferred_element_type=jnp.float32)
         z1v = z1_ref[0, r0: r0 + strip].reshape(strip * W, Co)
-        dn1 = dz1 * jnp.where(z1v > 0, 1.0, _SLOPE)
+        dn1 = dz1 * _lrelu_mask(z1v)
         gb_ref[r0: r0 + strip] = dn1.reshape(strip, W, Co).astype(
             gb_ref.dtype)
 
@@ -432,7 +443,7 @@ def _bwd_kernel(H, W, Ci, Co, has_short, strip,
         for r0 in range(0, H, strip):
             pre = pre_ref[0, r0: r0 + strip].astype(jnp.float32)
             gp = (g_ref[0, r0: r0 + strip].astype(jnp.float32)
-                  * jnp.where(pre > 0, 1.0, _SLOPE))
+                  * _lrelu_mask(pre))
             xh = ((yb_ref[r0: r0 + strip].astype(jnp.float32)
                    - mst[:, None, :]) * rst[:, None, :])
             s1_ref[0, :Co] += gp.reshape(strip * W, Co).sum(axis=0)
@@ -452,7 +463,7 @@ def _bwd_kernel(H, W, Ci, Co, has_short, strip,
                      preferred_element_type=jnp.float32)
         pre = pre_ref[0, r0: r0 + strip].astype(jnp.float32)
         gp = (g_ref[0, r0: r0 + strip].astype(jnp.float32)
-              * jnp.where(pre > 0, 1.0, _SLOPE))
+              * _lrelu_mask(pre))
         if has_short:
             xh = ((yb_ref[r0: r0 + strip].astype(jnp.float32)
                    - mst[:, None, :]) * rst[:, None, :])
@@ -676,7 +687,10 @@ def enabled_for(x_shape, co: int) -> bool:
     if not _ENABLED:
         return False
     b, h, w, ci = x_shape
-    if co < 128 or co % 128 or ci % 64 or w % 8 or h % 8:
+    # ci > 128 (decoder concat blocks) trips a Mosaic relayout ICE on a
+    # vector<...xi1> mask in the fused backward with this jax version —
+    # keep eligibility to the microbenched envelope
+    if co < 128 or co % 128 or ci % 64 or ci > 128 or w % 8 or h % 8:
         return False
     per_img = (h + 2) * (w + 8) * max(ci, co) * 2 * 3 + 2 * h * w * co * 2
     return per_img <= 40 * 1024 * 1024

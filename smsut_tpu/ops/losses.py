@@ -74,9 +74,37 @@ def cross_entropy_loss(logits: jax.Array, labels: jax.Array,
 def dice_and_ce_loss(logits: jax.Array, labels: jax.Array, weight_dc: float = 0.5,
                      weight_ce: float = 0.5, batch_dice: bool = True) -> jax.Array:
     """DiceAndCrossEntropyLoss (`misc/loss.py:8-20`), built with
-    batch_dice=True by every trainer (`trainer/baseTrainer.py:57`)."""
-    dc = soft_dice_loss(logits, labels, batch_dice) if weight_dc != 0 else 0.0
-    ce = cross_entropy_loss(logits, labels) if weight_ce != 0 else 0.0
+    batch_dice=True by every trainer (`trainer/baseTrainer.py:57`).
+
+    When both weights are active the two losses share ONE stabilized
+    softmax evaluation: probs = e/s and logp = (x-m) - log(s) both derive
+    from the same (m = max, e = exp(x-m), s = sum e) — the separate
+    jax.nn.softmax + jax.nn.log_softmax calls each re-reduced the
+    [B,H,W,C] logits (same math; one fewer pass over the lane-padded
+    C=n_class tensor)."""
+    if weight_dc == 0 or weight_ce == 0:
+        dc = soft_dice_loss(logits, labels, batch_dice) if weight_dc else 0.0
+        ce = cross_entropy_loss(logits, labels) if weight_ce else 0.0
+        return weight_dc * dc + weight_ce * ce
+    x = logits.astype(jnp.float32)
+    m = jax.lax.stop_gradient(jnp.max(x, axis=-1, keepdims=True))
+    e = jnp.exp(x - m)
+    s = jnp.sum(e, axis=-1, keepdims=True)
+    probs = e / s
+    gt = one_hot_last(labels, x.shape[-1])
+    # dice on probs (`misc/loss.py:39-63` semantics)
+    dims = (0, 1, 2) if batch_dice else (1, 2)
+    tp = jnp.sum(probs * gt, axis=dims)
+    fp = jnp.sum(probs, axis=dims) - tp
+    fn = jnp.sum(gt, axis=dims) - tp
+    inter = 2.0 * tp + 1e-5
+    union = 2.0 * tp + fp + fn + 1e-5
+    dcv = inter / (union + 1e-8)
+    dcv = dcv[1:] if batch_dice else dcv[:, 1:]
+    dc = 1.0 - jnp.mean(dcv)
+    # CE from the same (m, s): logp = (x - m) - log(s)
+    nll = -(jnp.sum(x * gt, axis=-1) - m[..., 0] - jnp.log(s[..., 0]))
+    ce = jnp.mean(nll)
     return weight_dc * dc + weight_ce * ce
 
 
