@@ -311,10 +311,11 @@ class DecoderSplit(nn.Module):
     def dec1_params(self) -> dict:
         return self.layer1()
 
-    def fc_apply(self, y: jax.Array) -> jax.Array:
+    def fc_apply(self, y: jax.Array, packed_out: bool = False) -> jax.Array:
         from smsut_tpu.models import packed as pk
 
-        return pk.depth_to_space(self.fc(y), self.out_ch)
+        y = self.fc(y)
+        return y if packed_out else pk.depth_to_space(y, self.out_ch)
 
 
 class Decoder(nn.Module):
@@ -334,7 +335,8 @@ class Decoder(nn.Module):
     pack_levels: int = 0
 
     @nn.compact
-    def __call__(self, x: jax.Array, skips: Sequence[jax.Array]) -> jax.Array:
+    def __call__(self, x: jax.Array, skips: Sequence[jax.Array],
+                 packed_out: bool = False) -> jax.Array:
         w = self.width
         for i, mult in ((4, 8), (3, 4), (2, 2), (1, 1)):
             if i <= self.pack_levels:
@@ -375,6 +377,14 @@ class Decoder(nn.Module):
                     x = pk.depth_to_space(x, mult * w)
             x = pk.PackedConv(self.out_ch, 1, (w,), self.act_type, self.dtype,
                               name="fc")(x)
+            if packed_out:
+                # train-loss path: per-pixel losses are invariant to the
+                # spatial repacking, so the [B,H',W',4*out_ch] packed
+                # logits feed ops/losses.py's packed variants directly and
+                # the full-grid unpack never materializes (profiled ~3
+                # ms/step of unpacked [.,256,256,5] f32 loss fusions on
+                # meanTeacher — BASELINE.md round 4)
+                return x
             return pk.depth_to_space(x, self.out_ch)
         x = conv1x1(self.out_ch, act_type=self.act_type, dtype=self.dtype, name="fc")(x)
         return x

@@ -123,7 +123,8 @@ class UGANDecoder(nn.Module):
     pack_levels: int = 0   # last N levels in packed space (models/packed.py)
 
     @nn.compact
-    def __call__(self, x: jax.Array, skips: Sequence[jax.Array]) -> jax.Array:
+    def __call__(self, x: jax.Array, skips: Sequence[jax.Array],
+                 packed_out: bool = False) -> jax.Array:
         w = self.width
         for i, mult in ((4, 8), (3, 4), (2, 2), (1, 1)):
             if i <= self.pack_levels:
@@ -172,6 +173,8 @@ class UGANDecoder(nn.Module):
                               use_bias=True, name="fc")(x)
             if self.use_tanh:
                 x = jnp.tanh(x)
+            if packed_out:   # packed-loss path (ops/losses.py)
+                return x
             return pk.depth_to_space(x, self.out_ch)
         x = conv1x1(self.out_ch, act_type=self.act_type, dtype=self.dtype,
                     use_bias=True, name="fc")(x)
@@ -342,12 +345,14 @@ class UGANDecoderSplit(nn.Module):
     def dec1_params(self) -> dict:
         return self.dec1()
 
-    def fc_apply(self, y: jax.Array) -> jax.Array:
+    def fc_apply(self, y: jax.Array, packed_out: bool = False) -> jax.Array:
         from smsut_tpu.models import packed as pk
 
         y = self.fc(y)
         if self.use_tanh:
             y = jnp.tanh(y)
+        if packed_out:   # packed-loss path (ops/losses.py)
+            return y
         return pk.depth_to_space(y, self.out_ch)
 
 
@@ -376,7 +381,7 @@ class _UGANCore(nn.Module):
     pair_towers: bool = False
 
     @nn.compact
-    def __call__(self, x, m):
+    def __call__(self, x, m, packed_seg: bool = False):
         kw = dict(norm_type="instance", act_type="lrelu", dtype=self.dtype,
                   pack_levels=self.pack_levels)
         x = x.astype(self.dtype)
@@ -434,12 +439,14 @@ class _UGANCore(nn.Module):
                                  "lrelu", self.dtype)
             ya, yb = pr.split2(yd)
             tsl = tslD.fc_apply(ya)
-            seg = segD.fc_apply(yb)
+            seg = segD.fc_apply(yb, packed_seg)
         else:
             tsl = UGANDecoder(1, self.width, transposed=False, use_tanh=True,
                               name="tsl_decoder", **kw)(tsl_bottleneck, tsl_skips)
             seg = UGANDecoder(self.out_ch, self.width, transposed=True, use_tanh=False,
-                              name="seg_decoder", **kw)(seg_bottleneck, seg_skips)
+                              name="seg_decoder", **kw)(
+                seg_bottleneck, seg_skips,
+                packed_seg and self.pack_levels > 0)
         return seg.astype(jnp.float32), tsl.astype(jnp.float32), tsl_bottleneck
 
 
@@ -454,10 +461,12 @@ class UGAN(nn.Module):
     pair_towers: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array, m: Optional[jax.Array] = None):
+    def __call__(self, x: jax.Array, m: Optional[jax.Array] = None,
+                 packed_seg: bool = False):
         seg, tsl, _ = _UGANCore(self.out_ch, self.n_modal, self.width, self.dtype,
                                 pack_levels=self.pack_levels,
-                                pair_towers=self.pair_towers, name="core")(x, m)
+                                pair_towers=self.pair_towers,
+                                name="core")(x, m, packed_seg)
         return seg, tsl
 
 
@@ -504,11 +513,12 @@ class UGANnce(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, m: Optional[jax.Array] = None,
-                 patch_ids: Optional[jax.Array] = None, val_phase: bool = False):
+                 patch_ids: Optional[jax.Array] = None, val_phase: bool = False,
+                 packed_seg: bool = False):
         seg, tsl, tsl_bottleneck = _UGANCore(self.out_ch, self.n_modal, self.width,
                                              self.dtype, pack_levels=self.pack_levels,
                                              pair_towers=self.pair_towers,
-                                             name="core")(x, m)
+                                             name="core")(x, m, packed_seg)
         if val_phase:
             return seg, tsl
         assert patch_ids is not None, "patch_ids required outside val_phase"

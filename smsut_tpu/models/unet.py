@@ -35,7 +35,11 @@ class UNet(nn.Module):
     remat: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, packed_out: bool = False) -> jax.Array:
+        """``packed_out=True`` (train-loss path, packed levels only)
+        returns the packed [B,H/2,W/2,4*out_ch] logits for the packed loss
+        variants in ops/losses.py instead of the depth-to-space'd full
+        grid — identical per-pixel values, no unpack materialization."""
         x = x.astype(self.dtype)
         pack = self.pack_levels if self.norm_type == "instance" else 0
         Enc, Dec = ((nn.remat(Encoder), nn.remat(Decoder)) if self.remat
@@ -43,7 +47,8 @@ class UNet(nn.Module):
         h, skips = Enc(self.width, self.norm_type, self.act_type, self.dtype,
                        pack_levels=pack, name="encoder")(x)
         y = Dec(self.out_ch, self.width, self.norm_type, self.act_type, self.dtype,
-                pack_levels=pack, name="decoder")(h, skips)
+                pack_levels=pack, name="decoder")(h, skips,
+                                                  packed_out and pack > 0)
         return y.astype(jnp.float32)
 
 
@@ -87,7 +92,7 @@ class UNetPair(nn.Module):
     pack_levels: int = 2
 
     @nn.compact
-    def __call__(self, x: jax.Array):
+    def __call__(self, x: jax.Array, packed_out: bool = False):
         from smsut_tpu.models import packed as pk
         from smsut_tpu.models import paired as pr
 
@@ -120,6 +125,6 @@ class UNetPair(nn.Module):
                              n1.decoder.dec1_params(), n2.decoder.dec1_params(),
                              (w, w), w, self.act_type, self.dtype)
         ya, yb = pr.split2(yd)
-        out1 = n1.decoder.fc_apply(ya)
-        out2 = n2.decoder.fc_apply(yb)
+        out1 = n1.decoder.fc_apply(ya, packed_out)
+        out2 = n2.decoder.fc_apply(yb, packed_out)
         return out1.astype(jnp.float32), out2.astype(jnp.float32)

@@ -108,6 +108,120 @@ def dice_and_ce_loss(logits: jax.Array, labels: jax.Array, weight_dc: float = 0.
     return weight_dc * dc + weight_ce * ce
 
 
+# --------------------------------------------------------------------------
+# packed-space loss variants: per-pixel losses are invariant to the 2x2
+# space-to-depth repacking, so they consume the network's PACKED logits
+# [B,H',W',4C] (channel layout s*C + c; models/packed.py) directly — the
+# full-grid depth_to_space unpack never materializes.  Profiled round 4:
+# the unpacked [.,256,256,5] f32 loss fusions cost ~3 ms/step on
+# meanTeacher.  Identical math (sums are permutation-invariant) —
+# tests/test_losses.py packed-parity cases.
+# --------------------------------------------------------------------------
+
+def pack_labels(labels: jax.Array) -> jax.Array:
+    """[B,2H,2W] int labels -> [B,H,W,4] matching space_to_depth's
+    subpixel order (dy*2+dx)."""
+    b, h2, w2 = labels.shape
+    l = labels.reshape(b, h2 // 2, 2, w2 // 2, 2)
+    return l.transpose(0, 1, 3, 2, 4).reshape(b, h2 // 2, w2 // 2, 4)
+
+
+def _group_mats(c: int, dtype=jnp.float32):
+    """G [4C,4]: lane s*C+i -> subpixel group s (0/1), and its transpose."""
+    import numpy as np
+
+    g = np.zeros((4 * c, 4), np.float32)
+    for s in range(4):
+        g[s * c:(s + 1) * c, s] = 1.0
+    gm = jnp.asarray(g, dtype)
+    return gm, gm.T
+
+
+def _packed_group_softmax(x: jax.Array, c: int):
+    """Grouped softmax over each subpixel's C lanes of [B,H,W,4C] f32.
+
+    One per-pixel max over ALL 4C lanes stabilizes every group (the shift
+    cancels inside each group's own normalizer), and the group sums ride a
+    [4C,4] 0/1 contraction — no lane->sublane reshapes.
+    Returns (probs, logp), both [B,H,W,4C]."""
+    m = jax.lax.stop_gradient(jnp.max(x, axis=-1, keepdims=True))
+    e = jnp.exp(x - m)
+    gm, gmt = _group_mats(c)
+    s4 = e @ gm                                   # [B,H,W,4] group sums
+    denom = s4 @ gmt                              # broadcast back to lanes
+    probs = e / denom
+    logp = (x - m) - jnp.log(s4) @ gmt
+    return probs, logp
+
+
+def _packed_one_hot(labels4: jax.Array, c: int) -> jax.Array:
+    """[B,H,W,4] int -> [B,H,W,4C] one-hot in the packed lane layout."""
+    lab = jnp.repeat(labels4, c, axis=-1)                     # s-major
+    lane_class = jnp.tile(jnp.arange(c, dtype=labels4.dtype), 4)
+    return (lab == lane_class).astype(jnp.float32)
+
+
+def argmax_packed(logits_p: jax.Array) -> jax.Array:
+    """Per-subpixel-group argmax of packed logits: [B,H,W,4C] ->
+    [B,H,W,4] int32 — equal to pack_labels(argmax(depth_to_space(x)))."""
+    c = logits_p.shape[-1] // 4
+    x = logits_p.astype(jnp.float32)
+    parts = [jnp.argmax(x[..., s * c:(s + 1) * c], axis=-1)
+             for s in range(4)]
+    return jnp.stack(parts, axis=-1).astype(jnp.int32)
+
+
+def dice_and_ce_loss_packed4(logits_p: jax.Array, labels4: jax.Array,
+                             weight_dc: float = 0.5, weight_ce: float = 0.5
+                             ) -> jax.Array:
+    """`dice_and_ce_loss` (batch_dice=True) on PACKED logits with PACKED
+    [B,H,W,4] labels (pack_labels / argmax_packed output)."""
+    x = logits_p.astype(jnp.float32)
+    c = x.shape[-1] // 4
+    gt = _packed_one_hot(labels4, c)
+    return _dice_ce_packed_core(x, gt, c, weight_dc, weight_ce)
+
+
+def dice_and_ce_loss_packed(logits_p: jax.Array, labels: jax.Array,
+                            weight_dc: float = 0.5, weight_ce: float = 0.5
+                            ) -> jax.Array:
+    """`dice_and_ce_loss` (batch_dice=True) on PACKED logits [B,H,W,4C]
+    with UNPACKED [B,2H,2W] labels — exactly equal to running the unpacked
+    loss on depth_to_space(logits_p)."""
+    x = logits_p.astype(jnp.float32)
+    c = x.shape[-1] // 4
+    gt = _packed_one_hot(pack_labels(labels), c)
+    return _dice_ce_packed_core(x, gt, c, weight_dc, weight_ce)
+
+
+def _dice_ce_packed_core(x, gt, c, weight_dc, weight_ce):
+    probs, logp = _packed_group_softmax(x, c)
+    # per-lane sums over (B,H,W) -> fold the 4 subpixel groups per class
+    tp4 = jnp.sum(probs * gt, axis=(0, 1, 2))
+    p4 = jnp.sum(probs, axis=(0, 1, 2))
+    g4 = jnp.sum(gt, axis=(0, 1, 2))
+    tp = tp4.reshape(4, c).sum(0)
+    fp = p4.reshape(4, c).sum(0) - tp
+    fn = g4.reshape(4, c).sum(0) - tp
+    inter = 2.0 * tp + 1e-5
+    union = 2.0 * tp + fp + fn + 1e-5
+    dc = 1.0 - jnp.mean((inter / (union + 1e-8))[1:])
+    n = x.shape[0] * x.shape[1] * x.shape[2] * 4
+    ce = -jnp.sum(logp * gt) / n
+    return weight_dc * dc + weight_ce * ce
+
+
+def softmax_mse_consistency_packed(student_p: jax.Array,
+                                   teacher_p: jax.Array) -> jax.Array:
+    """`softmax_mse_consistency` on packed logits — same element set, same
+    mean."""
+    c = student_p.shape[-1] // 4
+    ps, _ = _packed_group_softmax(student_p.astype(jnp.float32), c)
+    pt, _ = _packed_group_softmax(
+        jax.lax.stop_gradient(teacher_p.astype(jnp.float32)), c)
+    return jnp.mean(jnp.square(ps - pt))
+
+
 def softmax_mse_consistency(student_logits: jax.Array,
                             teacher_logits: jax.Array) -> jax.Array:
     """Mean-teacher consistency: MSE between softmaxes

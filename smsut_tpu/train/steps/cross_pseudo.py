@@ -20,7 +20,12 @@ import optax
 from smsut_tpu.config import Config
 from smsut_tpu.train.steps import setup_compute
 from smsut_tpu.models import UNet
-from smsut_tpu.ops.losses import dice_and_ce_loss
+from smsut_tpu.ops.losses import (
+    argmax_packed,
+    dice_and_ce_loss,
+    dice_and_ce_loss_packed,
+    dice_and_ce_loss_packed4,
+)
 from smsut_tpu.ops.schedules import sigmoid_rampup
 from smsut_tpu.train.state import TrainState, make_sgd
 
@@ -70,22 +75,36 @@ class CrossPseudo:
         lam = scalars["lambda_semi"]
 
         def joint_loss(p1, p2):
+            # packed logits end-to-end for all four losses (repacking-
+            # invariant; ops/losses.py packed variants)
             if self._pair:
                 out1, out2 = self.net_pair.apply(
-                    {"params": {"n1": p1, "n2": p2}}, img)
+                    {"params": {"n1": p1, "n2": p2}}, img, packed_out=True)
             else:
-                out1 = self.net.apply({"params": p1}, img)
-                out2 = self.net.apply({"params": p2}, img)
-            sup1 = dice_and_ce_loss(out1[:bs], batch["msk"], cfg.weight_dc,
-                                    cfg.weight_ce, batch_dice=True)
-            sup2 = dice_and_ce_loss(out2[:bs], batch["msk"], cfg.weight_dc,
-                                    cfg.weight_ce, batch_dice=True)
-            pred1 = jax.lax.stop_gradient(jnp.argmax(out1[bs:], axis=-1))
-            pred2 = jax.lax.stop_gradient(jnp.argmax(out2[bs:], axis=-1))
-            semi1 = dice_and_ce_loss(out1[bs:], pred2, cfg.weight_dc,
-                                     cfg.weight_ce, batch_dice=True)
-            semi2 = dice_and_ce_loss(out2[bs:], pred1, cfg.weight_dc,
-                                     cfg.weight_ce, batch_dice=True)
+                out1 = self.net.apply({"params": p1}, img, packed_out=True)
+                out2 = self.net.apply({"params": p2}, img, packed_out=True)
+            if out1.shape[-1] == cfg.n_class:   # unpacked fallback
+                sup1 = dice_and_ce_loss(out1[:bs], batch["msk"],
+                                        cfg.weight_dc, cfg.weight_ce, True)
+                sup2 = dice_and_ce_loss(out2[:bs], batch["msk"],
+                                        cfg.weight_dc, cfg.weight_ce, True)
+                pred1 = jax.lax.stop_gradient(jnp.argmax(out1[bs:], axis=-1))
+                pred2 = jax.lax.stop_gradient(jnp.argmax(out2[bs:], axis=-1))
+                semi1 = dice_and_ce_loss(out1[bs:], pred2, cfg.weight_dc,
+                                         cfg.weight_ce, True)
+                semi2 = dice_and_ce_loss(out2[bs:], pred1, cfg.weight_dc,
+                                         cfg.weight_ce, True)
+            else:
+                sup1 = dice_and_ce_loss_packed(out1[:bs], batch["msk"],
+                                               cfg.weight_dc, cfg.weight_ce)
+                sup2 = dice_and_ce_loss_packed(out2[:bs], batch["msk"],
+                                               cfg.weight_dc, cfg.weight_ce)
+                pred1 = jax.lax.stop_gradient(argmax_packed(out1[bs:]))
+                pred2 = jax.lax.stop_gradient(argmax_packed(out2[bs:]))
+                semi1 = dice_and_ce_loss_packed4(out1[bs:], pred2,
+                                                 cfg.weight_dc, cfg.weight_ce)
+                semi2 = dice_and_ce_loss_packed4(out2[bs:], pred1,
+                                                 cfg.weight_dc, cfg.weight_ce)
             total = sup1 + sup2 + lam * semi1 + lam * semi2
             return total, (sup1, sup2, semi1, semi2)
 

@@ -38,7 +38,10 @@ from smsut_tpu.train.steps import setup_compute
 from smsut_tpu.models import Discriminator, UGAN, UGANnce, sample_patch_ids
 from smsut_tpu.ops.losses import (
     argmax_consistency_loss,
+    argmax_packed,
     dice_and_ce_loss,
+    dice_and_ce_loss_packed,
+    dice_and_ce_loss_packed4,
     l1_loss,
     nce_loss_over_layers,
     softmax_ce_with_logits,
@@ -123,11 +126,13 @@ class UGANBase:
         return self.cfg.batch_size * (2 if self.uses_unlabeled else 1)
 
     # ------------------------------------------------------------- forwards
-    def _g_forward(self, params, x, m, patch_ids):
+    def _g_forward(self, params, x, m, patch_ids, packed_seg: bool = False):
         def fwd(params, x, m):
             if self.with_nce:
-                return self.net.apply({"params": params}, x, m, patch_ids)
-            seg, tsl = self.net.apply({"params": params}, x, m)
+                return self.net.apply({"params": params}, x, m, patch_ids,
+                                      packed_seg=packed_seg)
+            seg, tsl = self.net.apply({"params": params}, x, m,
+                                      packed_seg=packed_seg)
             return seg, tsl, None
 
         if getattr(self.cfg, "remat", False):
@@ -202,15 +207,25 @@ class UGANBase:
         gate1000 = (state.step >= 1000).astype(jnp.float32)
 
         def g_loss_fn(g_params):
+            # seg logits stay PACKED through all seg-side losses (per-pixel
+            # losses are repacking-invariant; ops/losses.py packed variants)
+            # — the translation output x_fake stays unpacked for D/L1
             y_fake, x_fake, feat_x = self._g_forward(g_params, x_real, vec_ot,
-                                                     patch_ids)
+                                                     patch_ids,
+                                                     packed_seg=True)
+            packed = y_fake.shape[-1] != cfg.n_class
             src, cls = self.D.apply({"params": state.d_params}, x_fake)
             g_fake = -jnp.mean(src)
             g_cls = softmax_ce_with_logits(cls, modal_trg)
-            g_seg = dice_and_ce_loss(y_fake[:bs], y_real, cfg.weight_dc,
-                                     cfg.weight_ce, batch_dice=True)
+            if packed:
+                g_seg = dice_and_ce_loss_packed(y_fake[:bs], y_real,
+                                                cfg.weight_dc, cfg.weight_ce)
+            else:
+                g_seg = dice_and_ce_loss(y_fake[:bs], y_real, cfg.weight_dc,
+                                         cfg.weight_ce, batch_dice=True)
             y_rec, x_rec, feat_f = self._g_forward(g_params, x_fake, vec_to,
-                                                   patch_ids)
+                                                   patch_ids,
+                                                   packed_seg=True)
             g_rec = l1_loss(x_real, x_rec)
 
             total = (g_fake + self.lambda_rec * g_rec + self.lambda_cls * g_cls
@@ -218,13 +233,23 @@ class UGANBase:
             aux = {"G_fake": g_fake, "G_rec": g_rec, "G_cls": g_cls,
                    "G_seg": g_seg, "loss": g_seg}
             if self.variant == "ugan":
-                g_shp = dice_and_ce_loss(y_rec, y_real, cfg.weight_dc,
-                                         cfg.weight_ce, batch_dice=True)
+                if packed:
+                    g_shp = dice_and_ce_loss_packed(y_rec, y_real,
+                                                    cfg.weight_dc,
+                                                    cfg.weight_ce)
+                else:
+                    g_shp = dice_and_ce_loss(y_rec, y_real, cfg.weight_dc,
+                                             cfg.weight_ce, batch_dice=True)
                 total = total + scalars["lambda_shp"] * g_shp
                 aux["G_shp"] = g_shp
             if self.variant == "uganConsis":
-                g_semi = argmax_consistency_loss(y_rec, y_fake, cfg.weight_dc,
-                                                 cfg.weight_ce) * gate1000
+                if packed:
+                    tgt4 = jax.lax.stop_gradient(argmax_packed(y_fake))
+                    g_semi = dice_and_ce_loss_packed4(
+                        y_rec, tgt4, cfg.weight_dc, cfg.weight_ce) * gate1000
+                else:
+                    g_semi = argmax_consistency_loss(
+                        y_rec, y_fake, cfg.weight_dc, cfg.weight_ce) * gate1000
                 total = total + scalars["lambda_semi"] * g_semi
                 aux["G_semi"] = g_semi
             if self.with_nce:

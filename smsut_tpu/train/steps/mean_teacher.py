@@ -22,7 +22,12 @@ import jax.numpy as jnp
 from smsut_tpu.config import Config
 from smsut_tpu.train.steps import setup_compute
 from smsut_tpu.models import UNet
-from smsut_tpu.ops.losses import dice_and_ce_loss, softmax_mse_consistency
+from smsut_tpu.ops.losses import (
+    dice_and_ce_loss,
+    dice_and_ce_loss_packed,
+    softmax_mse_consistency,
+    softmax_mse_consistency_packed,
+)
 from smsut_tpu.ops.schedules import sigmoid_rampup
 from smsut_tpu.train.state import TrainState, make_sgd
 
@@ -62,14 +67,26 @@ class MeanTeacher:
         ema_inputs = batch["ul_img"] + noise
         gate = (state.step >= 100).astype(jnp.float32)  # iteration gate
 
-        ema_logits = self.net.apply({"params": state.ema_params}, ema_inputs)
+        # packed logits end-to-end for the train losses (per-pixel losses
+        # are repacking-invariant; ops/losses.py packed variants)
+        ema_logits = self.net.apply({"params": state.ema_params}, ema_inputs,
+                                    packed_out=True)
         ema_logits = jax.lax.stop_gradient(ema_logits)
+        packed = ema_logits.shape[-1] != cfg.n_class
 
         def loss_fn(params):
-            logits = self.net.apply({"params": params}, img)
-            sup = dice_and_ce_loss(logits[:bs], batch["msk"], cfg.weight_dc,
-                                   cfg.weight_ce, batch_dice=True)
-            semi = softmax_mse_consistency(logits[bs:], ema_logits) * gate
+            logits = self.net.apply({"params": params}, img, packed_out=True)
+            if packed:
+                sup = dice_and_ce_loss_packed(logits[:bs], batch["msk"],
+                                              cfg.weight_dc, cfg.weight_ce)
+                semi = softmax_mse_consistency_packed(logits[bs:],
+                                                      ema_logits) * gate
+            else:
+                sup = dice_and_ce_loss(logits[:bs], batch["msk"],
+                                       cfg.weight_dc, cfg.weight_ce,
+                                       batch_dice=True)
+                semi = softmax_mse_consistency(logits[bs:],
+                                               ema_logits) * gate
             total = sup + scalars["lambda_semi"] * semi
             return total, (sup, semi)
 

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from smsut_tpu.config import Config
 from smsut_tpu.train.steps import setup_compute
 from smsut_tpu.models import UNet
-from smsut_tpu.ops.losses import dice_and_ce_loss
+from smsut_tpu.ops.losses import dice_and_ce_loss, dice_and_ce_loss_packed
 from smsut_tpu.train.state import TrainState, make_sgd
 
 
@@ -49,9 +49,16 @@ class SupervisedUNet:
         cfg = self.cfg
 
         def loss_fn(params):
-            logits = self.net.apply({"params": params}, batch["img"])
-            return dice_and_ce_loss(logits, batch["msk"], cfg.weight_dc,
-                                    cfg.weight_ce, batch_dice=True)
+            # packed logits for the loss when the packed levels are active:
+            # identical values per pixel, no depth_to_space materialization
+            # (ops/losses.py packed variants)
+            logits = self.net.apply({"params": params}, batch["img"],
+                                    packed_out=True)
+            if logits.shape[-1] == cfg.n_class:   # unpacked fallback
+                return dice_and_ce_loss(logits, batch["msk"], cfg.weight_dc,
+                                        cfg.weight_ce, batch_dice=True)
+            return dice_and_ce_loss_packed(logits, batch["msk"],
+                                           cfg.weight_dc, cfg.weight_ce)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         state = state.apply_gradients(grads)

@@ -127,3 +127,65 @@ def test_classifier_ce(rng):
     want = F.cross_entropy(torch.tensor(logits), torch.tensor(target)).item()
     got = losses.softmax_ce_with_logits(jnp.asarray(logits), jnp.asarray(target))
     np.testing.assert_allclose(float(got), want, rtol=1e-5, atol=1e-6)
+
+
+class TestPackedLossParity:
+    """Packed-space loss variants == unpacked losses on the
+    depth_to_space'd logits — values AND gradients (round 4; the packed
+    tail avoids the full-grid unpack materializations)."""
+
+    def _mk(self, rng, b=2, h=8, w=8, c=5):
+        from smsut_tpu.models.packed import depth_to_space
+
+        lp = jnp.asarray(rng.normal(size=(b, h, w, 4 * c))
+                         .astype(np.float32))
+        labels = jnp.asarray(rng.integers(0, c, size=(b, 2 * h, 2 * w))
+                             .astype(np.int32))
+        return lp, depth_to_space(lp, c), labels
+
+    def test_dice_ce_packed_matches(self, rng):
+        import jax
+        from smsut_tpu.models.packed import depth_to_space
+
+        lp, lu, labels = self._mk(rng)
+
+        def f_p(x):
+            return losses.dice_and_ce_loss_packed(x, labels)
+
+        def f_u(x):
+            return losses.dice_and_ce_loss(depth_to_space(x, 5), labels,
+                                           batch_dice=True)
+
+        vp, gp = jax.value_and_grad(f_p)(lp)
+        vu, gu = jax.value_and_grad(f_u)(lp)
+        np.testing.assert_allclose(float(vp), float(vu), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gu),
+                                   rtol=1e-4, atol=1e-7)
+
+    def test_mse_consistency_packed_matches(self, rng):
+        import jax
+        from smsut_tpu.models.packed import depth_to_space
+
+        sp, su, _ = self._mk(rng)
+        tp_, tu, _ = self._mk(np.random.default_rng(7))
+
+        def f_p(x):
+            return losses.softmax_mse_consistency_packed(x, tp_)
+
+        def f_u(x):
+            return losses.softmax_mse_consistency(depth_to_space(x, 5), tu)
+
+        vp, gp = jax.value_and_grad(f_p)(sp)
+        vu, gu = jax.value_and_grad(f_u)(sp)
+        np.testing.assert_allclose(float(vp), float(vu), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gu),
+                                   rtol=1e-4, atol=1e-8)
+
+    def test_pack_labels_matches_space_to_depth(self, rng):
+        from smsut_tpu.models.packed import space_to_depth
+
+        labels = jnp.asarray(rng.integers(0, 5, size=(2, 16, 16))
+                             .astype(np.int32))
+        want = space_to_depth(labels[..., None].astype(jnp.float32))
+        got = losses.pack_labels(labels).astype(jnp.float32)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
