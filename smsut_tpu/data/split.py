@@ -53,19 +53,24 @@ def make_semi_split(pids_per_modality: Dict[str, List[str]],
             train_folds.append(rot[:n_train])
             val_folds.append(rot[n_train:])
         split[modality] = {"train": train_folds, "val": val_folds, "test": test}
+        _check_split_modality(modality, split[modality], pids, n_fold)
 
-    _check_split(split, n_fold)
     return split
 
 
-def _check_split(split: Dict, n_fold: int) -> None:
-    """Every volume appears exactly once per fold across train/val/test
-    (`toPngAndSplit.py:138-150`)."""
-    for modality, s in split.items():
-        for fold in range(n_fold):
-            seen = list(s["test"]) + list(s["train"][fold]) + list(s["val"][fold])
-            assert len(seen) == len(set(seen)), \
-                f"duplicate pid in {modality} fold {fold}"
+def _check_split_modality(modality: str, s: Dict, volumes: Sequence[str],
+                          n_fold: int) -> None:
+    """Every volume appears EXACTLY once per fold across train/val/test —
+    completeness (no volume dropped) AND uniqueness, matching the
+    reference's `{v: count} == 1` sweep (`toPngAndSplit.py:138-150`)."""
+    for fold in range(n_fold):
+        counts = {v: 0 for v in volumes}
+        for k in list(s["test"]) + list(s["train"][fold]) + list(s["val"][fold]):
+            assert k in counts, f"unknown pid {k!r} in {modality} fold {fold}"
+            counts[k] += 1
+        for k, v in counts.items():
+            assert v == 1, \
+                f"pid {k!r} appears {v}x in {modality} fold {fold}"
 
 
 def load_split(path: str) -> Dict:

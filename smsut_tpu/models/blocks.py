@@ -67,8 +67,9 @@ class BottleBlock(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         assert self.stride in (1, 2)
         # discriminator-side block: the WGAN-GP grad-of-grad flows through
-        # these activations — keep the twice-differentiable form
-        act = get_act(self.act_type, high_order=True)
+        # these activations — reverse-over-reverse through the lrelu
+        # custom vjp is exact and regression-tested (layers.get_act)
+        act = get_act(self.act_type)
         y = conv3x3(self.features, act_type=self.act_type, dtype=self.dtype, name="conv1")(x)
         y = NormAct(self.norm_type, self.act_type, self.dtype, name="bn1")(y)
         if self.stride == 2:

@@ -239,8 +239,7 @@ def _lrelu_cv_bwd(y, g):
 _lrelu_cv.defvjp(_lrelu_cv_fwd, _lrelu_cv_bwd)
 
 
-def get_act(act_type: str,
-            high_order: bool = False) -> Callable[[jax.Array], jax.Array]:
+def get_act(act_type: str) -> Callable[[jax.Array], jax.Array]:
     """relu / leaky-relu(0.01) (`network/blocks.py:28-34`).
 
     lrelu carries a custom vjp whose only residual is its own output —
@@ -248,14 +247,16 @@ def get_act(act_type: str,
     x == 0 branch where both gradients use the full-pass branch), but the
     default autodiff's saved pred mask disappears.
 
-    ``high_order=True`` returns the plain differentiable form instead:
-    custom_vjp does not support grad-of-grad, which the WGAN-GP critic
-    path needs through every discriminator activation."""
+    Reverse-over-reverse (the WGAN-GP critic's grad-of-grad through every
+    discriminator activation) IS supported through custom_vjp: the outer
+    grad differentiates the plain jnp bwd rule, and the second derivative
+    (zero a.e., linear in the cotangent) is exact — regression-tested
+    against the plain leaky_relu form in
+    tests/test_layers.py::test_lrelu_custom_vjp_grad_of_grad.  (custom_vjp
+    rejects only forward-mode jvp, which nothing here uses.)"""
     if act_type == "relu":
         return jax.nn.relu
     if act_type == "lrelu":
-        if high_order:
-            return lambda x: jax.nn.leaky_relu(x, negative_slope=1e-2)
         return _lrelu_cv
     raise NotImplementedError(act_type)
 

@@ -325,8 +325,7 @@ class PackedNormActW(nn.Module):
         b_ = tile_c_w(bias - mean * rstd * scale, p)[:, None, None, :]
         from smsut_tpu.models.layers import stats_cast
         y = (stats_cast(x) * g + b_).astype(self.dtype)
-        return (get_act(self.act_type, high_order=True)(y)
-                if self.act_type else y)
+        return get_act(self.act_type)(y) if self.act_type else y
 
 
 class PackedBasicBlockW(nn.Module):
@@ -342,7 +341,7 @@ class PackedBasicBlockW(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        act = get_act(self.act_type, high_order=True)
+        act = get_act(self.act_type)
         f, p = self.features, self.p
         identity = x
         y = PackedConvW(f, 3, tuple(self.in_segments), p, self.act_type,
@@ -523,7 +522,7 @@ class BottleBlockW(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         assert self.stride in (1, 2)
-        act = get_act(self.act_type, high_order=True)
+        act = get_act(self.act_type)
         f, p = self.features, self.p
         p_out = p // 2 if self.stride == 2 else p
         y = PackedConvW(f, 3, (self.in_ch,), p, self.act_type, self.dtype,

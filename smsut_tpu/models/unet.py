@@ -42,8 +42,11 @@ class UNet(nn.Module):
         grid — identical per-pixel values, no unpack materialization."""
         x = x.astype(self.dtype)
         pack = self.pack_levels if self.norm_type == "instance" else 0
-        Enc, Dec = ((nn.remat(Encoder), nn.remat(Decoder)) if self.remat
-                    else (Encoder, Decoder))
+        # packed_out is Python control flow inside Decoder (blocks.py) — it
+        # must stay static under the checkpoint trace (static_argnums counts
+        # __call__'s args with the module as arg 0, so packed_out is 3).
+        Enc, Dec = ((nn.remat(Encoder), nn.remat(Decoder, static_argnums=(3,)))
+                    if self.remat else (Encoder, Decoder))
         h, skips = Enc(self.width, self.norm_type, self.act_type, self.dtype,
                        pack_levels=pack, name="encoder")(x)
         y = Dec(self.out_ch, self.width, self.norm_type, self.act_type, self.dtype,

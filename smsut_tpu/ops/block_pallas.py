@@ -260,7 +260,11 @@ def _lrelu_mask(v):
     positive v to >=1 (or inf) and any v <= 0 to <= 0, then clip to
     [slope, 1] — avoids boolean vectors (Mosaic relayout ICE in the fused
     backward on jax 0.9.0).  Matches jnp.where(v > 0, 1, slope) including
-    v == 0 -> slope."""
+    v == 0 -> slope, EXCEPT for positive f32 denormals (v < ~2.5e-41:
+    v*1e20*1e20 still rounds below 1, returning slope instead of 1).  TPU
+    flushes f32 denormals to zero, so on-device the match is exact; only
+    interpret-mode CPU runs with denormal pre-activations can see the
+    difference, and tests avoid that range."""
     a = v.astype(jnp.float32) * 1e20
     return jnp.clip(a * 1e20, _SLOPE, 1.0)
 

@@ -140,13 +140,17 @@ def _group_mats(c: int, dtype=jnp.float32):
 def _packed_group_softmax(x: jax.Array, c: int):
     """Grouped softmax over each subpixel's C lanes of [B,H,W,4C] f32.
 
-    One per-pixel max over ALL 4C lanes stabilizes every group (the shift
-    cancels inside each group's own normalizer), and the group sums ride a
-    [4C,4] 0/1 contraction — no lane->sublane reshapes.
-    Returns (probs, logp), both [B,H,W,4C]."""
-    m = jax.lax.stop_gradient(jnp.max(x, axis=-1, keepdims=True))
-    e = jnp.exp(x - m)
+    Each subpixel group is stabilized by ITS OWN max (a shared 4C-wide max
+    underflows a whole group to 0/0=NaN when a neighbouring subpixel's max
+    logit exceeds this group's logits by ~88 — the f32 exp range); the
+    per-lane max rides the same [4,4C] 0/1 contraction as the group sums
+    (exact: each lane selects exactly one max), so there are still no
+    lane->sublane reshapes.  Returns (probs, logp), both [B,H,W,4C]."""
     gm, gmt = _group_mats(c)
+    m4 = jnp.stack([jnp.max(x[..., s * c:(s + 1) * c], axis=-1)
+                    for s in range(4)], axis=-1)  # [B,H,W,4] per-group max
+    m = jax.lax.stop_gradient(m4) @ gmt           # tile back to lanes, exact
+    e = jnp.exp(x - m)
     s4 = e @ gm                                   # [B,H,W,4] group sums
     denom = s4 @ gmt                              # broadcast back to lanes
     probs = e / denom

@@ -159,3 +159,20 @@ def test_make_semi_split_invariants():
             assert sorted(seen) == sorted(pids[m])  # each pid exactly once
     # t1in/t1out share patient split
     assert split["t1in"]["test"] == split["t1out"]["test"]
+
+
+def test_split_self_check_catches_dropped_volume():
+    """The self-check must assert completeness (count==1 over ALL volumes
+    per fold, `toPngAndSplit.py:138-150`), not just no-duplicates — a
+    dropped volume has to trip it."""
+    from smsut_tpu.data.split import _check_split_modality
+
+    pids = [str(i).rjust(3, "0") for i in range(20)]
+    split = make_semi_split({"t2": pids})["t2"]
+    _check_split_modality("t2", split, pids, 5)          # intact: passes
+    broken = dict(split, test=split["test"][1:])         # drop one volume
+    with pytest.raises(AssertionError, match="appears 0x"):
+        _check_split_modality("t2", broken, pids, 5)
+    dup = dict(split, test=split["test"] + split["test"][:1])
+    with pytest.raises(AssertionError, match="appears 2x"):
+        _check_split_modality("t2", dup, pids, 5)

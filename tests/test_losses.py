@@ -181,6 +181,29 @@ class TestPackedLossParity:
         np.testing.assert_allclose(np.asarray(gp), np.asarray(gu),
                                    rtol=1e-4, atol=1e-8)
 
+    def test_extreme_logit_no_nan(self, rng):
+        """Regression (round-5 ADVICE): a shared 4C-wide softmax max
+        underflowed a neighbouring subpixel group's exp-sum to 0 (0/0 =
+        NaN loss AND grads) once any logit led another group's by ~88+.
+        The per-group max must keep value and grad finite AND still equal
+        the unpacked loss."""
+        import jax
+        from smsut_tpu.models.packed import depth_to_space
+
+        lp, _, labels = self._mk(rng)
+        lp = lp.at[0, 0, 0, 2].set(500.0)   # group 0 dominates groups 1-3
+
+        def f_p(x):
+            return losses.dice_and_ce_loss_packed(x, labels)
+
+        vp, gp = jax.value_and_grad(f_p)(lp)
+        assert np.isfinite(float(vp)) and np.all(np.isfinite(np.asarray(gp)))
+        vu = losses.dice_and_ce_loss(depth_to_space(lp, 5), labels,
+                                     batch_dice=True)
+        np.testing.assert_allclose(float(vp), float(vu), rtol=1e-6)
+        mse = losses.softmax_mse_consistency_packed(lp, lp * 0.5)
+        assert np.isfinite(float(mse))
+
     def test_pack_labels_matches_space_to_depth(self, rng):
         from smsut_tpu.models.packed import space_to_depth
 
