@@ -217,6 +217,19 @@ class Config:
     # dodges the ~330ms per-dispatch program reload.  Multi-host: the
     # batch axis is sharded across processes and re-gathered.
     eval_scan: bool = True
+    # consume the network's PACKED logits directly in the train-loss tails
+    # (ops/losses.py packed variants; identical per-pixel math — the
+    # full-grid depth_to_space unpack never materializes).  None = auto,
+    # the round-5 measured per-algorithm optimum: ON for meanTeacher
+    # (24.3 -> 18.0 ms) and crossPse (40.6 -> 37.4), ties for ugan/uganShp0
+    # (kept ON), OFF for unet (7.14 -> 6.97) and uganConsis (76.8 -> 75.2)
+    # whose packed4 consistency tail costs more than the unpack it saves
+    # (BASELINE.md round 5).  True/False force it everywhere.
+    packed_loss_tails: Optional[bool] = None
+    # uganConsis: global step at which the consistency loss opens
+    # (`uganConsisTrainer.py` gates g_semi at iter >= 1000).  Configurable
+    # so short rehearsals/tests can cross the gate; 1000 == reference.
+    consis_gate_step: int = 1000
     # test phase: replace the reference's HD==dice placeholder
     # (`misc/utils.py:245`) with the genuine Hausdorff distance in the
     # middle matrix.  Off by default for CSV output parity.

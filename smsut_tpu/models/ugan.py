@@ -596,8 +596,17 @@ class Discriminator(nn.Module):
 
         out_src = conv3x3(1, dtype=self.dtype, name="conv_src")(x)
         k = int(self.input_size // 2 ** repeat_num)
-        out_cls = nn.Conv(self.n_modal, kernel_size=(k, k), padding="VALID",
-                          use_bias=False, kernel_init=kaiming_normal_fan_out("lrelu"),
-                          dtype=self.dtype, param_dtype=jnp.float32, name="conv_cls")(x)
-        out_cls = out_cls.reshape(out_cls.shape[0], self.n_modal)
+        # class head: the reference's full-kernel VALID conv producing
+        # [B,1,1,n_modal] + reshape (`ugan.py:227-228`) IS a single global
+        # contraction; emitting it as one dot (identical math, same
+        # conv_cls/kernel param path/init) avoids the [B,1,1,n_modal]
+        # intermediate whose backward reshape GSPMD could only re-shard by
+        # involuntary full rematerialization on dp x tp meshes
+        # (MULTICHIP_r04 tail; round-5 fix)
+        from smsut_tpu.models.packed import _Kernel
+
+        ck = _Kernel((k, k, x.shape[-1], self.n_modal),
+                     kaiming_normal_fan_out("lrelu"), name="conv_cls")()
+        out_cls = jnp.einsum("bhwc,hwcm->bm", x.astype(self.dtype),
+                             ck.astype(self.dtype))
         return out_src.astype(jnp.float32), out_cls.astype(jnp.float32)

@@ -84,7 +84,12 @@ def shard_params_channelwise(mesh: Mesh, params: Any) -> Any:
             "(see parallel/mesh.py docstring).  Use dp x tp or dp x sp.")
 
     def put(x):
-        if x.ndim >= 2 and x.shape[-1] % tp == 0:
+        # shard only when each shard keeps >= 4 output channels: tiny head
+        # kernels (e.g. the Discriminator's n_modal=4 cls head) gain nothing
+        # from TP and their sharded [B,1,1,4] outputs provoked a GSPMD
+        # "involuntary full rematerialization" in the backward reshape
+        # (MULTICHIP_r04 tail; round-5 fix — the dryrun now compiles clean)
+        if x.ndim >= 2 and x.shape[-1] % tp == 0 and x.shape[-1] // tp >= 4:
             spec = P(*([None] * (x.ndim - 1) + ["model"]))
         else:
             spec = P()

@@ -77,12 +77,16 @@ class CrossPseudo:
         def joint_loss(p1, p2):
             # packed logits end-to-end for all four losses (repacking-
             # invariant; ops/losses.py packed variants)
+            # auto default ON here: measured 37.4 (packed) vs 40.6 ms
+            # (BASELINE.md round-5 tails grid)
+            po = getattr(cfg, "packed_loss_tails", None)
+            po = bool(po) if po is not None else True
             if self._pair:
                 out1, out2 = self.net_pair.apply(
-                    {"params": {"n1": p1, "n2": p2}}, img, packed_out=True)
+                    {"params": {"n1": p1, "n2": p2}}, img, packed_out=po)
             else:
-                out1 = self.net.apply({"params": p1}, img, packed_out=True)
-                out2 = self.net.apply({"params": p2}, img, packed_out=True)
+                out1 = self.net.apply({"params": p1}, img, packed_out=po)
+                out2 = self.net.apply({"params": p2}, img, packed_out=po)
             if out1.shape[-1] == cfg.n_class:   # unpacked fallback
                 sup1 = dice_and_ce_loss(out1[:bs], batch["msk"],
                                         cfg.weight_dc, cfg.weight_ce, True)

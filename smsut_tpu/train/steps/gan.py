@@ -204,7 +204,14 @@ class UGANBase:
         d_real, d_fake, d_cls, d_gp = d_aux
 
         # ---- G step against the UPDATED discriminator (reference order)
-        gate1000 = (state.step >= 1000).astype(jnp.float32)
+        gate1000 = (state.step
+                    >= getattr(cfg, "consis_gate_step", 1000)).astype(jnp.float32)
+
+        # auto: ON for ugan/uganShp0 (measured ties, fewer materializations),
+        # OFF for uganConsis — its packed4 consistency tail measured 76.8 vs
+        # 75.2 ms unpacked (BASELINE.md round-5 tails grid)
+        po = getattr(cfg, "packed_loss_tails", None)
+        po = bool(po) if po is not None else (self.variant != "uganConsis")
 
         def g_loss_fn(g_params):
             # seg logits stay PACKED through all seg-side losses (per-pixel
@@ -212,7 +219,7 @@ class UGANBase:
             # — the translation output x_fake stays unpacked for D/L1
             y_fake, x_fake, feat_x = self._g_forward(g_params, x_real, vec_ot,
                                                      patch_ids,
-                                                     packed_seg=True)
+                                                     packed_seg=po)
             packed = y_fake.shape[-1] != cfg.n_class
             src, cls = self.D.apply({"params": state.d_params}, x_fake)
             g_fake = -jnp.mean(src)
@@ -225,7 +232,7 @@ class UGANBase:
                                          cfg.weight_ce, batch_dice=True)
             y_rec, x_rec, feat_f = self._g_forward(g_params, x_fake, vec_to,
                                                    patch_ids,
-                                                   packed_seg=True)
+                                                   packed_seg=po)
             g_rec = l1_loss(x_real, x_rec)
 
             total = (g_fake + self.lambda_rec * g_rec + self.lambda_cls * g_cls

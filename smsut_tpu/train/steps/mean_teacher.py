@@ -69,13 +69,17 @@ class MeanTeacher:
 
         # packed logits end-to-end for the train losses (per-pixel losses
         # are repacking-invariant; ops/losses.py packed variants)
+        # auto default ON here: measured 18.0 (packed) vs 24.3 ms
+        # (BASELINE.md round-5 tails grid)
+        po = getattr(cfg, "packed_loss_tails", None)
+        po = bool(po) if po is not None else True
         ema_logits = self.net.apply({"params": state.ema_params}, ema_inputs,
-                                    packed_out=True)
+                                    packed_out=po)
         ema_logits = jax.lax.stop_gradient(ema_logits)
         packed = ema_logits.shape[-1] != cfg.n_class
 
         def loss_fn(params):
-            logits = self.net.apply({"params": params}, img, packed_out=True)
+            logits = self.net.apply({"params": params}, img, packed_out=po)
             if packed:
                 sup = dice_and_ce_loss_packed(logits[:bs], batch["msk"],
                                               cfg.weight_dc, cfg.weight_ce)

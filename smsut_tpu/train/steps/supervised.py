@@ -52,8 +52,12 @@ class SupervisedUNet:
             # packed logits for the loss when the packed levels are active:
             # identical values per pixel, no depth_to_space materialization
             # (ops/losses.py packed variants)
+            # auto default OFF here: measured 6.97 (unpacked) vs 7.14 ms
+            # (BASELINE.md round-5 tails grid)
+            po = getattr(cfg, "packed_loss_tails", None)
             logits = self.net.apply({"params": params}, batch["img"],
-                                    packed_out=True)
+                                    packed_out=bool(po) if po is not None
+                                    else False)
             if logits.shape[-1] == cfg.n_class:   # unpacked fallback
                 return dice_and_ce_loss(logits, batch["msk"], cfg.weight_dc,
                                         cfg.weight_ce, batch_dice=True)

@@ -34,3 +34,38 @@ def test_fit_loop_tracks_torch_rederivation(tmp_path):
     assert np.isfinite(rep["assd_matrix_dev"]), rep
     # the trajectory genuinely learns (the comparison is not vacuous)
     assert rep["jax_dice_trajectory"][-1] > 2 * rep["jax_dice_trajectory"][0]
+
+
+@pytest.mark.slow
+def test_gan_fit_loop_tracks_torch_rederivation(tmp_path):
+    """Flagship uganConsis rehearsal (VERDICT r4 #3): the real fit loop
+    (D Adam + WGAN-GP, G SGD + PatchNCE, consistency gate crossing,
+    lambda_semi rampup, validate -> selection) vs torch f32 AND f64
+    replays of the recorded stream (tools/rehearse_gan_parity.py).
+
+    GAN f32 trajectories are chaotic (Adam sign-steps amplify rounding —
+    tests/test_gan_training_parity.py measured torch self-divergence >1.0
+    rel by step 2), so the loss envelope is calibrated per epoch against
+    torch's OWN f32-vs-f64 self-drift; the structural semantics (gate,
+    rampup) are asserted exactly."""
+    from tools.rehearse_gan_parity import GAN_METRICS, rehearse_gan
+
+    rep = rehearse_gan(str(tmp_path), epochs=3, iters=4, size=64, width=8,
+                       batch=2, gate_step=6)
+    # exact structure: the consistency gate crosses at the same step on
+    # both sides, and the rampup schedule is bit-equal to the formula
+    assert rep["gate_pre_zero"] == {"jax": True, "torch": True}, rep
+    assert rep["gate_post_nonzero"] == {"jax": True, "torch": True}, rep
+    assert rep["lambda_semi_rampup_exact"], rep
+    # calibrated envelope: per epoch-mean metric, jax's drift from the
+    # exact (f64) trajectory stays within max(6x torch's own f32
+    # self-drift, floor) — i.e. jax diverges no faster than an f32
+    # implementation intrinsically does.  Epoch-0 floor is tight (recipe
+    # bugs are O(1) immediately); later epochs ride the measured chaos.
+    for k in GAN_METRICS:
+        for e, row in enumerate(rep["envelopes"][k]):
+            env = max(6.0 * row["torch_f32_self_drift"],
+                      0.02 if e == 0 else 0.3)
+            assert row["jax_drift"] <= env, (k, e, row)
+    # the selected model's dice is in the f64 replay's neighbourhood
+    assert rep["best_dice_dev_vs_f64"] < 0.1, rep
