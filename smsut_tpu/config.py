@@ -226,6 +226,11 @@ class Config:
     # whose packed4 consistency tail costs more than the unpack it saves
     # (BASELINE.md round 5).  True/False force it everywhere.
     packed_loss_tails: Optional[bool] = None
+    # GAN D step: run real+fake+x_hat as ONE 3n-image D apply, recovering
+    # the GP input-gradient as a slice of the batched input grad (identical
+    # math — per-sample instance norm keeps slices independent).  Trades an
+    # extra 2n of input-grad compute for one D program instead of two.
+    d_concat_hat: bool = False
     # uganConsis: global step at which the consistency loss opens
     # (`uganConsisTrainer.py` gates g_semi at iter >= 1000).  Configurable
     # so short rehearsals/tests can cross the gate; 1000 == reference.

@@ -139,9 +139,14 @@ def set_norm_stats(mode: str) -> None:
       cast.  Test-only: with float64 activations (jax.enable_x64) every
       norm is exact, which lets equivalence tests assert BITWISE equality
       of alternative lowerings (tests/test_paired.py).
+    * ``"stack"`` — bf16 sums like "bf16" but BOTH statistics ride ONE
+      reduce over [x | x^2] stacked on the lane axis (2C lanes) instead of
+      two C-lane reduces.  Same bf16-accumulator quantization as "bf16"
+      (per-lane sums are computed independently, so each lane's value is
+      identical to the "bf16" mode's — only the kernel count halves).
     """
     global _STATS_MODE
-    assert mode in ("reduce", "dot", "bf16", "native"), mode
+    assert mode in ("reduce", "dot", "bf16", "native", "stack"), mode
     _STATS_MODE = mode
 
 
@@ -172,6 +177,13 @@ def spatial_sums(xf: jax.Array) -> "tuple[jax.Array, jax.Array]":
         xb = xf.astype(jnp.bfloat16)
         return (xb.sum(axis=(1, 2)).astype(jnp.float32),
                 jnp.square(xb).sum(axis=(1, 2)).astype(jnp.float32))
+    if _STATS_MODE == "stack":
+        # one reduce over [x | x^2] on the lane axis: per-lane sums are
+        # bitwise the "bf16" mode's values, at half the reduce-kernel count
+        xb = xf.astype(jnp.bfloat16)
+        s = jnp.concatenate([xb, jnp.square(xb)], axis=-1).sum(axis=(1, 2))
+        s = s.astype(jnp.float32)
+        return s[:, :c], s[:, c:]
     if _STATS_MODE != "dot":
         return xf.sum(axis=(1, 2)), jnp.square(xf).sum(axis=(1, 2))
     x2 = xf.reshape(b, h * w, c)

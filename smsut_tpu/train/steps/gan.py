@@ -175,24 +175,42 @@ class UGANBase:
         x_hat = alpha * x_real + (1.0 - alpha) * x_fake0
 
         def d_loss_fn(d_params):
-            # ONE batched D apply for real+fake: same params, and both terms
-            # need only param-grads; instance norm is per-sample so the
-            # concat is mathematically identical to two applies
-            # (`uganTrainer.py:149-156` runs them sequentially) — halves the
-            # D-apply op count per step.
-            src_cat, cls_cat = self.D.apply(
-                {"params": d_params}, jnp.concatenate([x_real, x_fake0], axis=0))
-            src_real, src_fake = src_cat[:n], src_cat[n:]
-            cls_real = cls_cat[:n]
+            if getattr(cfg, "d_concat_hat", False):
+                # ONE 3n-image D apply for real+fake+x_hat: the GP input
+                # gradient is the x_hat slice of the batched input grad
+                # (per-sample instance norm keeps slices independent, so
+                # this is mathematically identical to separate applies)
+                Xc = jnp.concatenate([x_real, x_fake0, x_hat], axis=0)
+
+                def critic3(X):
+                    src, cls = self.D.apply({"params": d_params}, X)
+                    return jnp.sum(src[2 * n:]), (src, cls)
+
+                dydx3, (src_cat, cls_cat) = jax.grad(
+                    critic3, has_aux=True)(Xc)
+                src_real, src_fake = src_cat[:n], src_cat[n:2 * n]
+                cls_real = cls_cat[:n]
+                dydx = dydx3[2 * n:]
+            else:
+                # ONE batched D apply for real+fake: same params, and both
+                # terms need only param-grads; instance norm is per-sample
+                # so the concat is mathematically identical to two applies
+                # (`uganTrainer.py:149-156` runs them sequentially) — halves
+                # the D-apply op count per step.
+                src_cat, cls_cat = self.D.apply(
+                    {"params": d_params},
+                    jnp.concatenate([x_real, x_fake0], axis=0))
+                src_real, src_fake = src_cat[:n], src_cat[n:]
+                cls_real = cls_cat[:n]
+
+                def critic_sum(xh):
+                    src, _ = self.D.apply({"params": d_params}, xh)
+                    return jnp.sum(src)
+
+                dydx = jax.grad(critic_sum)(x_hat)   # grad-of-grad via jit
             d_real = -jnp.mean(src_real)
             d_cls = softmax_ce_with_logits(cls_real, mdl)
             d_fake = jnp.mean(src_fake)
-
-            def critic_sum(xh):
-                src, _ = self.D.apply({"params": d_params}, xh)
-                return jnp.sum(src)
-
-            dydx = jax.grad(critic_sum)(x_hat)           # grad-of-grad via jit
             norms = jnp.sqrt(jnp.sum(jnp.square(dydx.reshape(n, -1)), axis=1))
             d_gp = jnp.mean(jnp.square(norms - 1.0))
             total = d_real + d_fake + self.lambda_cls * d_cls + self.lambda_gp * d_gp

@@ -55,7 +55,9 @@ def test_tp_sharded_roundtrip_and_mesh_change(tmp_path, rng):
 
     if len(jax.devices()) < 4:
         pytest.skip("needs 4 virtual devices")
-    algo = SupervisedUNet(CFG.replace(batch_size=4))
+    # width 8 so layer1's 8-channel kernels still shard at tp=2 under the
+    # >=4-channels-per-shard rule (parallel/mesh.py round 5)
+    algo = SupervisedUNet(CFG.replace(batch_size=4, base_width=8))
     mesh = make_mesh_2d(dp=2, tp=2)
     state = algo.init_state(jax.random.PRNGKey(0))
     host0 = jax.tree_util.tree_map(np.asarray, state)

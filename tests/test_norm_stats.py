@@ -84,6 +84,47 @@ def test_bf16_stats_drift_bounded(rng):
     assert np.sqrt(np.mean(np.square(y1 - y0))) < 0.01
 
 
+def test_stack_stats_equal_bf16_stats(rng):
+    """norm_stats='stack' (one reduce over [x | x^2] lanes) produces
+    EXACTLY the 'bf16' mode's sums — each lane reduces independently over
+    the same (H, W) order, so the stacked kernel changes only the kernel
+    count, not any value."""
+    x = jnp.asarray(
+        rng.normal(size=(2, 32, 32, 12)).astype(np.float32), jnp.bfloat16)
+
+    def sums(mode):
+        layers.set_norm_stats(mode)
+        try:
+            return [np.asarray(s) for s in layers.spatial_sums(
+                x.astype(jnp.float32))]
+        finally:
+            layers.set_norm_stats("reduce")
+
+    a1, a2 = sums("bf16")
+    b1, b2 = sums("stack")
+    np.testing.assert_array_equal(a1, b1)
+    np.testing.assert_array_equal(a2, b2)
+
+    # and through a norm end-to-end, gradients included
+    mod = layers.NormAct("instance", "lrelu", jnp.bfloat16)
+    params = mod.init(jax.random.PRNGKey(0), x)
+
+    def run(mode):
+        layers.set_norm_stats(mode)
+        try:
+            y = mod.apply(params, x)
+            g = jax.grad(lambda xx: jnp.sum(
+                jnp.square(mod.apply(params, xx).astype(jnp.float32))))(x)
+            return np.asarray(y, np.float32), np.asarray(g, np.float32)
+        finally:
+            layers.set_norm_stats("reduce")
+
+    y_b, g_b = run("bf16")
+    y_s, g_s = run("stack")
+    np.testing.assert_array_equal(y_s, y_b)
+    np.testing.assert_allclose(g_s, g_b, rtol=1e-5, atol=1e-6)
+
+
 def test_gradients_match(rng):
     """The dot-based stats produce the same gradients (the norm backward
     flows through the statistics)."""

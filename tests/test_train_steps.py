@@ -118,6 +118,32 @@ def test_gan_steps(rng, algo_cls, with_ul):
     assert int(state.step) == 1
 
 
+def test_d_concat_hat_matches_default(rng):
+    """`d_concat_hat=True` (one 3n-image D apply for real+fake+x_hat, GP
+    gradient recovered by slicing the batched input grad) is identical math
+    to the default two-apply D step: per-sample instance norm keeps batch
+    slices independent.  Metrics and post-step parameters must agree to
+    f32 reduction-order tolerance."""
+    cfg32 = CFG.replace(compute_dtype="float32")
+    batch = _batch(rng, with_ul=False)
+    results = []
+    for flag in (False, True):
+        algo = UGANTrainerAlgo(cfg32.replace(d_concat_hat=flag))
+        state = algo.init_state(jax.random.PRNGKey(0))
+        scalars = dict(algo.epoch_scalars(1), rng=jax.random.PRNGKey(3))
+        state, m = algo.train_step(state, batch, scalars)
+        results.append((state, {k: float(v) for k, v in m.items()}))
+    (s0, m0), (s1, m1) = results
+    for k in ("D_real", "D_fake", "D_cls", "D_gp", "G_fake", "G_rec",
+              "G_cls", "G_seg"):
+        np.testing.assert_allclose(m1[k], m0[k], rtol=5e-4, atol=5e-5,
+                                   err_msg=k)
+    for a, b in zip(jax.tree_util.tree_leaves(s0.g_params),
+                    jax.tree_util.tree_leaves(s1.g_params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-3, atol=2e-4)
+
+
 def test_gan_eval_fn_matches_val_phase(rng):
     algo = UGANConsisAlgo(CFG)
     state = algo.init_state(jax.random.PRNGKey(0))
